@@ -1,0 +1,137 @@
+"""Full metadata-extraction cascade (X8).
+
+From-scratch reimplementation of the reference's layered extractor
+(`2_Aplikacja_Glowna/gui/processing_worker.py:173-308`, SURVEY.md §2.3 X8):
+
+  step 1  NER entity groups            (modelled: no-entity path — the
+                                        reference tests run a blank model)
+  step 2  SmartExtractor fills empties
+  step 3  raw regexes fill remaining
+  step 4  optional LLM fill            (out of scope: optional dependency,
+                                        non-deterministic; gated off in the
+                                        reference by ``if llm_processor``)
+  step 5  empty-field colouring + status
+
+Field order and the ``colors``/``status`` contract are part of the output
+schema (SURVEY.md §1 item 4).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Mapping, Sequence
+
+from archvisier_spark.kernel.smart import smart_extract_info
+
+INFO_FIELDS: tuple[str, ...] = (
+    "data",
+    "nadawca_odbiorca",
+    "w_sprawie",
+    "numer_dokumentu",
+    "sygnatura_sprawy",
+    "typ_dokumentu",
+)
+
+# Step-3 raw regexes — processing_worker.py:222-270.
+_RAW_DATE_NUMERIC = re.compile(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
+_RAW_DATE_WORDS = re.compile(
+    r"\b\d{1,2}\s+(stycznia|lutego|marca|kwietnia|maja|czerwca|lipca|sierpnia|wrze[sś]nia|października|listopada|grudnia)\s+\d{4}\b",
+    re.IGNORECASE,
+)
+_RAW_SENDERS = re.compile(r"^(?:Od|Nadawca)\s*:\s*(.+)$", re.MULTILINE | re.IGNORECASE)
+_RAW_RECIPIENTS = re.compile(r"^(?:Do|Adresat)\s*:\s*(.+)$", re.MULTILINE | re.IGNORECASE)
+_RAW_NUMBER_PUNCT = re.compile(r"(?:nr|numer)(?:\s+dokumentu)?\s*[:\s-]+([A-Z0-9./\-]+)", re.IGNORECASE)
+_RAW_NUMBER_SPACE = re.compile(r"(?:nr|numer)(?:\s+dokumentu)?\s+([A-Z0-9./\-]+)", re.IGNORECASE)
+_RAW_SIGNATURE = re.compile(r"(?:sygn\.?\s*akt|sygnatura)\s*[:\s-]*([A-Z0-9./\- ]+)", re.IGNORECASE)
+
+# An entity provider maps text -> {LABEL: [surface, ...]}.  The default
+# provider returns no entities, matching the reference test harness
+# (tests/test_processing_worker_regex.py:25 uses spacy.blank("pl")).
+EntityProvider = Callable[[str], Mapping[str, Sequence[str]]]
+# A smart tier maps text -> the 5-field rule-extraction record; pass None
+# to disable step 2 (the reference tests stub it to all-empty the same way,
+# tests/test_processing_worker_regex.py:11-26).
+SmartTier = Callable[[str], Mapping[str, str]]
+
+
+def _no_entities(_text: str) -> Mapping[str, Sequence[str]]:
+    return {}
+
+
+def extract_info_from_text(
+    text: str,
+    original_filename: str = "",
+    mode: str = "KP",
+    case_signature_override: str = "",
+    entity_provider: EntityProvider | None = None,
+    smart_tier: SmartTier | None = smart_extract_info,
+) -> dict:
+    """Run the full cascade; returns the 7-field info record + colors map.
+
+    Output keys: the six INFO_FIELDS, ``status`` ("OK" or
+    "DO UZUPEŁNIENIA"), and ``colors`` mapping each still-empty field to
+    "yellow" (processing_worker.py:298-306).
+    """
+    provider = entity_provider or _no_entities
+
+    info: dict = {
+        "data": "",
+        "nadawca_odbiorca": "",
+        "w_sprawie": "",
+        "numer_dokumentu": "",
+        "sygnatura_sprawy": case_signature_override,
+        "typ_dokumentu": "",
+        "status": "OK",
+    }
+
+    # Step 1 — NER entity groups, joined with a single space after newline
+    # flattening (processing_worker.py:186-202).
+    entities = {label.upper(): [e.replace("\n", " ").strip() for e in vals]
+                for label, vals in provider(text).items()}
+    info["data"] = " ".join(entities.get("DATA", []))
+    info["nadawca_odbiorca"] = " ".join(entities.get("ORGANIZACJA", []))
+    info["w_sprawie"] = " ".join(entities.get("TYTUL_PISMA", []))
+    info["numer_dokumentu"] = " ".join(entities.get("NR_DOKUMENTU", []))
+    info["typ_dokumentu"] = " ".join(entities.get("TYP_DOKUMENTU", []))
+    if not info["sygnatura_sprawy"]:
+        info["sygnatura_sprawy"] = " ".join(entities.get("SYGNATURA_SPRAWY", []))
+
+    # Step 2 — rule tier fills fields that are still empty
+    # (processing_worker.py:207-219).
+    if smart_tier is not None:
+        smart = smart_tier(text)
+        for field in ("data", "nadawca_odbiorca", "w_sprawie", "numer_dokumentu", "typ_dokumentu"):
+            if not info[field]:
+                info[field] = smart.get(field, "")
+
+    # Step 3 — raw regexes for the remaining gaps
+    # (processing_worker.py:221-270).
+    if not info["data"]:
+        m = _RAW_DATE_NUMERIC.search(text) or _RAW_DATE_WORDS.search(text)
+        if m:
+            info["data"] = m.group(0)
+
+    if not info["nadawca_odbiorca"]:
+        parties = [s.strip() for s in _RAW_SENDERS.findall(text) + _RAW_RECIPIENTS.findall(text)]
+        if parties:
+            info["nadawca_odbiorca"] = " ".join(parties)
+
+    if not info["numer_dokumentu"]:
+        m = _RAW_NUMBER_PUNCT.search(text) or _RAW_NUMBER_SPACE.search(text)
+        if m:
+            info["numer_dokumentu"] = m.group(1).strip()
+
+    if not info["sygnatura_sprawy"]:
+        m = _RAW_SIGNATURE.search(text)
+        if m:
+            info["sygnatura_sprawy"] = m.group(1).strip()
+
+    # Step 5 — empty-field colouring + status.
+    colors: dict[str, str] = {}
+    for key, value in info.items():
+        if key != "status" and not value:
+            colors[key] = "yellow"
+    if colors:
+        info["status"] = "DO UZUPEŁNIENIA"
+    info["colors"] = colors
+    return info

@@ -1,0 +1,119 @@
+"""HTML main-content extraction (boilerplate strip) — north-rule payload.
+
+The reference contains no HTML/DOM code (SURVEY.md §7 honesty note); this
+tier is specified by BASELINE.json:north_star — "HTML DOM boilerplate
+stripping via text-density/link-density heuristics over a parsed node
+tree".  The design follows the published boilerpipe (Kohlschütter et al.,
+WSDM 2010) / jusText family of heuristics, implemented from scratch on the
+stdlib ``html.parser`` node stream:
+
+1. tokenize the document into a block sequence — text runs flushed at
+   block-level tag boundaries, with per-block total chars and chars under
+   ``<a>`` (link chars);
+2. classify each block: content iff it is long enough AND its link density
+   (link_chars / chars) is low;
+3. emit the content blocks joined by a single newline.
+
+This module is the oracle for the Spark HTML path; it runs verbatim inside
+the extraction pandas UDF.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Tags that open/close a visual block — flush the text buffer at each.
+BLOCK_TAGS = frozenset(
+    """p div section article main header footer nav aside li ul ol dl dd dt
+    td th tr table thead tbody tfoot h1 h2 h3 h4 h5 h6 blockquote pre
+    figure figcaption form fieldset address hr br""".split()
+)
+# Subtrees that never contribute visible text.
+IGNORED_TAGS = frozenset("script style noscript template svg head iframe object".split())
+
+MIN_BLOCK_CHARS = 25       # shorter blocks are headlines/crumbs/boilerplate
+MAX_LINK_DENSITY = 0.33    # blocks dominated by anchor text are navigation
+
+
+class _BlockCollector(HTMLParser):
+    """Flatten an HTML document into (text, link_chars) blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._a_depth = 0
+        self._ignore_depth = 0
+
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        if text.strip():
+            self.blocks.append((text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in IGNORED_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in IGNORED_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or not data:
+            return
+        self._buf.append(data)
+        if self._a_depth:
+            self._link_chars += len(data)
+
+    def close(self) -> None:  # flush any trailing text
+        super().close()
+        self._flush()
+
+
+def html_blocks(html: str) -> list[tuple[str, int]]:
+    """Parse ``html`` into (raw_text, link_chars) block tuples."""
+    collector = _BlockCollector()
+    collector.feed(html)
+    collector.close()
+    return collector.blocks
+
+
+def extract_main_text(
+    html: str,
+    min_block_chars: int = MIN_BLOCK_CHARS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> str:
+    """Strip boilerplate: keep long, low-link-density blocks.
+
+    Per-block: ``stripped = text.strip()``; keep iff
+    ``len(stripped) >= min_block_chars`` and
+    ``link_chars / len(text) <= max_link_density``.  Content blocks join
+    with a single ``\\n`` — this joined string is the byte-identity target
+    for the HTML rows of the corpus.
+    """
+    kept: list[str] = []
+    for text, link_chars in html_blocks(html):
+        stripped = text.strip()
+        if len(stripped) < min_block_chars:
+            continue
+        if link_chars / max(len(text), 1) > max_link_density:
+            continue
+        kept.append(stripped)
+    return "\n".join(kept)

@@ -1,0 +1,274 @@
+"""Rule-cascade metadata extraction (the "SmartExtractor" tier).
+
+From-scratch reimplementation of the reference's keyword/regex cascade
+(`2_Aplikacja_Glowna/SmartExtractor/smart_extractor.py:26-295`, SURVEY.md
+§2.3 X1–X7).  Pattern ORDER is part of the semantics: every extractor is a
+first-match-wins scan over an ordered pattern list, and the keyword table is
+scanned in insertion order.  All regexes run under Python ``re`` — Java
+regex has different word-boundary/Unicode semantics, so these functions are
+executed inside Arrow-batched pandas UDFs, never translated to
+``regexp_extract`` (SURVEY.md §7 "regex engine parity").
+"""
+
+from __future__ import annotations
+
+import re
+
+# Keyword -> canonical document type, scanned in insertion order.
+# Mirrors smart_extractor.py:26-67 (34 multilingual keywords).
+DOCUMENT_TYPES: dict[str, str] = {
+    "umowa": "UMOWA",
+    "porozumienie": "POROZUMIENIE",
+    "aneks": "ANEKS",
+    "appendix": "ANEKS",
+    "agreement": "UMOWA",
+    "contract": "UMOWA",
+    "protokół": "PROTOKÓŁ",
+    "protokol": "PROTOKÓŁ",
+    "protocol": "PROTOKÓŁ",
+    "faktura": "FAKTURA",
+    "invoice": "FAKTURA",
+    "rechnung": "FAKTURA",
+    "rachunek": "RACHUNEK",
+    "bill": "RACHUNEK",
+    "paragon": "PARAGON",
+    "wezwanie": "WEZWANIE",
+    "zaświadczenie": "ZAŚWIADCZENIE",
+    "zaswiadczenie": "ZAŚWIADCZENIE",
+    "certificate": "ZAŚWIADCZENIE",
+    "decyzja": "DECYZJA",
+    "decision": "DECYZJA",
+    "postanowienie": "POSTANOWIENIE",
+    "resolution": "UCHWAŁA",
+    "uchwała": "UCHWAŁA",
+    "request": "WNIOSEK",
+    "wniosek": "WNIOSEK",
+    "appeal": "ODWOŁANIE",
+    "odwołanie": "ODWOŁANIE",
+    "odwolanie": "ODWOŁANIE",
+    "complaint": "SKARGA",
+    "skarga": "SKARGA",
+    "letter": "PISMO",
+    "pismo": "PISMO",
+    "memo": "NOTATKA",
+    "notatka": "NOTATKA",
+    "report": "SPRAWOZDANIE",
+    "sprawozdanie": "SPRAWOZDANIE",
+    "statement": "OŚWIADCZENIE",
+    "oświadczenie": "OŚWIADCZENIE",
+    "oswiadczenie": "OŚWIADCZENIE",
+}
+
+# Word-boundary pattern per keyword, precompiled once per Python worker.
+_TYPE_PATTERNS: list[tuple[str, re.Pattern[str], str]] = [
+    (kw, re.compile(r"\b" + re.escape(kw) + r"\b"), doc_type)
+    for kw, doc_type in DOCUMENT_TYPES.items()
+]
+
+# Ordered date patterns — smart_extractor.py:84-90.
+_DATE_PATTERNS: tuple[re.Pattern[str], ...] = (
+    re.compile(r"\b(\d{4})[/\.\-](\d{1,2})[/\.\-](\d{1,2})\b"),
+    re.compile(r"\b(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})\b"),
+    re.compile(
+        r"\b(\d{1,2})[ \.](?:stycznia|lutego|marca|kwietnia|maja|czerwca|lipca|sierpnia|września|października|listopada|grudnia)[ \.](\d{4})\b",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"\b(\d{1,2})[ \.](?:styczeń|luty|marzec|kwiecień|maj|czerwiec|lipiec|sierpień|wrzesień|październik|listopad|grudzień)[ \.](\d{4})\b",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"\b(\d{1,2})[ \.](?:january|february|march|april|may|june|july|august|september|october|november|december)[ \.](\d{4})\b",
+        re.IGNORECASE,
+    ),
+)
+
+# Month-name -> number, probed in insertion order against the *original-case*
+# matched fragment (smart_extractor.py:158-175 — a case-sensitive substring
+# probe; "10 May 2023" therefore resolves to no month and yields "").
+_MONTHS: dict[str, int] = {
+    "stycznia": 1, "lutego": 2, "marca": 3, "kwietnia": 4, "maja": 5,
+    "czerwca": 6, "lipca": 7, "sierpnia": 8, "września": 9,
+    "października": 10, "listopada": 11, "grudnia": 12,
+    "styczeń": 1, "luty": 2, "marzec": 3, "kwiecień": 4, "maj": 5,
+    "czerwiec": 6, "lipiec": 7, "sierpień": 8, "wrzesień": 9,
+    "październik": 10, "listopad": 11, "grudzień": 12,
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+    "june": 6, "july": 7, "august": 8, "september": 9,
+    "october": 10, "november": 11, "december": 12,
+}
+
+# Ordered document-number patterns — smart_extractor.py:93-100.
+_NUMBER_PATTERNS: tuple[re.Pattern[str], ...] = (
+    re.compile(r"\b(?:nr|numer|znak|sygn\.?|l\.dz\.?)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\b(?:no\.|number)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\bFV[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\bfaktura[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\binvoice[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\bumowa[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+)
+
+# Court case signature patterns — smart_extractor.py:103-106 (X4).  Present
+# in the reference but unused by its extract_info; exposed here as a
+# standalone scalar for completeness.
+_SIGNATURE_PATTERNS: tuple[re.Pattern[str], ...] = (
+    re.compile(r"\b(?:sygn\.?|sygnatura)[ :]*(?:akt)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+    re.compile(r"\b([A-Z]{2,4}[ /][A-Za-z0-9]{1,4}[ /][0-9]{1,5}[ /][0-9]{1,5})\b"),
+)
+
+# Sender/recipient role patterns — smart_extractor.py:109-115.
+_PARTY_PATTERNS: tuple[re.Pattern[str], ...] = (
+    re.compile(r"(?:od|nadawca|wykonawca|zleceniobiorca|usługodawca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE),
+    re.compile(r"(?:do|odbiorca|zamawiający|zleceniodawca|usługobiorca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE),
+    re.compile(r"\b([A-ZŻŹĆĄŚĘŁÓŃ][A-ZŻŹĆĄŚĘŁÓŃ\s]{2,}(?:SP\.|SP\.\sZ\sO\.O\.|S\.A\.|Z\sO\.O\.))", re.IGNORECASE),
+    re.compile(r"\b((?:spółka|przedsiębiorstwo|firma|zakład|centrum|biuro)[^\n\.]{5,50})", re.IGNORECASE),
+)
+_ADDRESS_PATTERN = re.compile(r"(?:ul\.|ulica|al\.|aleja)[^\n,]{2,30},[^\n]{2,30}\d{2}-\d{3}", re.IGNORECASE)
+
+# Subject patterns — smart_extractor.py:118-122.
+_SUBJECT_PATTERNS: tuple[re.Pattern[str], ...] = (
+    re.compile(r"(?:dotyczy|dot\.|w sprawie|temat|przedmiot|sprawa)[:\s]+([^\n\.]{10,100})", re.IGNORECASE),
+    re.compile(r"(?:sprawa|dot\.):[^\n\.]{5,100}", re.IGNORECASE),
+    re.compile(r"(?:subject|regarding|re)[:\s]+([^\n\.]{5,100})", re.IGNORECASE),
+)
+_SUBJECT_PREFIXES = ("dotyczy:", "dot.:", "w sprawie:", "temat:", "przedmiot:")
+
+EMPTY_SMART_INFO: dict[str, str] = {
+    "data": "",
+    "nadawca_odbiorca": "",
+    "w_sprawie": "",
+    "numer_dokumentu": "",
+    "typ_dokumentu": "",
+}
+
+
+def find_document_type(text: str) -> str:
+    """Keyword-table document-type detection (X1, smart_extractor.py:124-144).
+
+    Scan order: (1) each keyword in table order against the 500-char
+    lowercased header — a cheap substring probe gates the word-boundary
+    regex; (2) each keyword in table order against the whole lowered text.
+    """
+    text_lower = text.lower()
+    header = text_lower[:500] if len(text_lower) > 500 else text_lower
+    for keyword, pattern, doc_type in _TYPE_PATTERNS:
+        if keyword in header and pattern.search(header):
+            return doc_type
+    for _keyword, pattern, doc_type in _TYPE_PATTERNS:
+        if pattern.search(text_lower):
+            return doc_type
+    return ""
+
+
+def extract_date(text: str) -> str:
+    """Date extraction + normalisation (X2, smart_extractor.py:146-176).
+
+    Numeric forms normalise to ``YYYY-MM-DD`` with zero-padded month/day
+    (the year is echoed verbatim, so ``5/1/99`` stays ``99-...``).  Word
+    forms resolve the month by a case-sensitive substring probe of the
+    matched fragment; an unresolved month falls through to the next pattern.
+    """
+    for pattern in _DATE_PATTERNS:
+        m = pattern.search(text)
+        if not m:
+            continue
+        g = m.groups()
+        if len(g) == 3:
+            if len(g[0]) == 4:  # YYYY sep M sep D
+                return f"{g[0]}-{int(g[1]):02d}-{int(g[2]):02d}"
+            return f"{g[2]}-{int(g[1]):02d}-{int(g[0]):02d}"  # D sep M sep YYYY
+        if len(g) == 2:  # "<day> <monthname> <year>"
+            fragment = m.group(0)
+            day = int(g[0])
+            for month_name, month_num in _MONTHS.items():
+                if month_name in fragment:
+                    return f"{int(g[1])}-{month_num:02d}-{day:02d}"
+    return ""
+
+
+def extract_document_number(text: str) -> str:
+    """Document-number extraction (X3, smart_extractor.py:178-184)."""
+    for pattern in _NUMBER_PATTERNS:
+        m = pattern.search(text)
+        if m:
+            return m.group(1).strip()
+    return ""
+
+
+def extract_court_signature(text: str) -> str:
+    """Court-signature extraction (X4, smart_extractor.py:103-106)."""
+    for pattern in _SIGNATURE_PATTERNS:
+        m = pattern.search(text)
+        if m:
+            return m.group(1).strip()
+    return ""
+
+
+def extract_sender_recipient(text: str) -> str:
+    """Sender/recipient extraction (X5, smart_extractor.py:186-205).
+
+    Role-keyword patterns first; failing those, locate a Polish street
+    address and return the non-empty line immediately above it when its
+    length is in (3, 60).
+    """
+    for pattern in _PARTY_PATTERNS:
+        m = pattern.search(text)
+        if m:
+            return m.group(1).strip()
+    addr = _ADDRESS_PATTERN.search(text)
+    if addr:
+        lines = text[: addr.start()].strip().split("\n")
+        if lines:
+            candidate = lines[-1].strip()
+            if 3 < len(candidate) < 60:
+                return candidate
+    return ""
+
+
+def extract_subject(text: str) -> str:
+    """Subject extraction (X6, smart_extractor.py:207-223).
+
+    Returns the *whole* match (group 0) with five literal lowercase
+    prefixes stripped, capped at 100 chars.  The document-type fallback
+    reproduces the reference's f-string artifact: ``{10,100}`` inside its
+    rf-string is a Python expression, so the effective tail of the pattern
+    is the literal ``(10, 100)`` (smart_extractor.py:218) — the fallback
+    practically never fires; kept for byte-parity.
+    """
+    for pattern in _SUBJECT_PATTERNS:
+        m = pattern.search(text)
+        if m:
+            subject = m.group(0)
+            for prefix in _SUBJECT_PREFIXES:
+                subject = subject.replace(prefix, "")
+            return subject.strip()[:100]
+    doc_type = find_document_type(text)
+    if doc_type:
+        # NB: literal "(10, 100)" — intentional parity with the reference bug.
+        pattern = doc_type.lower() + "[:\\s]+([^\\n\\.](10, 100))"
+        m = re.search(pattern, text, re.IGNORECASE)
+        if m:
+            return m.group(1).strip()
+    return ""
+
+
+def smart_extract_info(text: str) -> dict[str, str]:
+    """Composed rule-tier extraction (X7, smart_extractor.py:225-295).
+
+    Empty input → all-empty record; any internal exception → all-empty
+    record (errors are data, never failures).  The reference's optional
+    spaCy-NER backfill is modelled as the no-entity path (its test suite
+    runs with a blank model), so the rule outputs pass through unchanged.
+    """
+    if not text:
+        return dict(EMPTY_SMART_INFO)
+    try:
+        return {
+            "data": extract_date(text),
+            "nadawca_odbiorca": extract_sender_recipient(text),
+            "w_sprawie": extract_subject(text),
+            "numer_dokumentu": extract_document_number(text),
+            "typ_dokumentu": find_document_type(text),
+        }
+    except Exception:
+        return dict(EMPTY_SMART_INFO)

@@ -1,0 +1,124 @@
+"""PDF writer/parser roundtrip + HTML boilerplate-strip oracle tests."""
+
+from archvisier_spark.kernel import (
+    build_pdf,
+    extract_document_text,
+    extract_main_text,
+    pdf_page_texts,
+    sniff_format,
+)
+from archvisier_spark.kernel.document import EMPTY_PDF_TEXT, STATUS_OK
+
+
+# --- sniffer ---
+
+def test_sniff_formats():
+    assert sniff_format(b"%PDF-1.7\nx") == "pdf"
+    assert sniff_format(b"  \n%PDF-1.4") == "pdf"
+    assert sniff_format(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_format(b"<div>hi</div>") == "html"
+    assert sniff_format("plain text here".encode()) == "text"
+    assert sniff_format(b"") == "empty"
+    assert sniff_format(None) == "empty"
+
+
+# --- PDF roundtrip ---
+
+def test_pdf_roundtrip_single_page():
+    pdf = build_pdf([["Umowa nr 7/2025", "z dnia 2024-03-05"]])
+    assert pdf.startswith(b"%PDF-1.7")
+    assert pdf_page_texts(pdf) == ["Umowa nr 7/2025\nz dnia 2024-03-05"]
+
+
+def test_pdf_roundtrip_multipage_order():
+    pdf = build_pdf([["page one line"], ["page two line"], ["page three line"]])
+    assert pdf_page_texts(pdf) == ["page one line", "page two line", "page three line"]
+
+
+def test_pdf_roundtrip_escapes_and_unicode():
+    lines = ["parens (x) \\ backslash", "żółć gęślą jaźń", "tab\tand (nested (deep))"]
+    pdf = build_pdf([lines])
+    assert pdf_page_texts(pdf) == ["\n".join(lines)]
+
+
+def test_pdf_empty_is_error_row():
+    text, status, fmt = extract_document_text(build_pdf([]))
+    assert fmt == "pdf"
+    assert text == EMPTY_PDF_TEXT
+    assert status == ""
+
+
+def test_pdf_malformed_is_error_row_not_exception():
+    text, status, fmt = extract_document_text(b"%PDF-1.7\ngarbage stream\nbroken")
+    # no stream objects → parses to zero pages → empty-PDF error literal
+    assert text == EMPTY_PDF_TEXT
+
+
+def test_pdf_document_text_applies_correction_and_page_newlines():
+    # per-page: correct_text then "+\n" — processing/ocr.py:227-231 contract
+    pdf = build_pdf([["tst words"], ["second page"]])
+    text, status, fmt = extract_document_text(pdf, language="eng")
+    assert text == "test words\nsecond page\n"
+    assert status == STATUS_OK
+
+
+def test_pdf_language_auto_detects_per_page():
+    # Polish diacritics → "pol" dictionary; "tst" still repaired (both dicts
+    # contain "test"), Polish page goes through the Polish dictionary.
+    pdf = build_pdf([["zażółć tst"]])
+    text, _, _ = extract_document_text(pdf, language="auto")
+    assert text == "zażółć test\n"
+
+
+# --- HTML boilerplate strip ---
+
+BOILERPLATE_PAGE = """<!DOCTYPE html>
+<html><head><title>t</title><script>var x = "<p>not text</p>";</script>
+<style>.a { color: red }</style></head>
+<body>
+<nav><ul>
+<li><a href="/">Home page link</a></li>
+<li><a href="/about">About us page link</a></li>
+</ul></nav>
+<div id="main">
+<p>This is the first real paragraph of the article body text.</p>
+<p>And a second paragraph, also long enough to count as content.</p>
+</div>
+<footer><p><a href="/tos">Terms of service</a> — <a href="/priv">Privacy policy text</a></p></footer>
+</body></html>"""
+
+
+def test_extract_main_text_strips_boilerplate():
+    out = extract_main_text(BOILERPLATE_PAGE)
+    assert out == (
+        "This is the first real paragraph of the article body text.\n"
+        "And a second paragraph, also long enough to count as content."
+    )
+
+
+def test_extract_main_text_ignores_script_style():
+    assert "not text" not in extract_main_text(BOILERPLATE_PAGE)
+    assert "color: red" not in extract_main_text(BOILERPLATE_PAGE)
+
+
+def test_extract_main_text_link_density_keeps_inline_links():
+    # a long paragraph with one short inline link stays content
+    html = "<p>A genuinely long sentence that mentions <a href='x'>one link</a> within much longer prose text.</p>"
+    assert "one link" in extract_main_text(html)
+
+
+def test_extract_main_text_entities_unescaped():
+    html = "<p>Tom &amp; Jerry sign the agreement &quot;Umowa&quot; today.</p>"
+    assert extract_main_text(html) == 'Tom & Jerry sign the agreement "Umowa" today.'
+
+
+def test_document_dispatch_html():
+    text, status, fmt = extract_document_text(BOILERPLATE_PAGE.encode())
+    assert fmt == "html"
+    assert status == STATUS_OK
+    assert text.startswith("This is the first real paragraph")
+
+
+def test_document_dispatch_plain_text():
+    text, status, fmt = extract_document_text("zwykły tekst".encode())
+    assert (text, status, fmt) == ("zwykły tekst", STATUS_OK, "text")
