@@ -1,38 +1,118 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the ArchVisier metadata-extraction cascade +
+span labelling + deterministic renaming over the sf0.001 ``documents``
+table (the full binary-payload pipeline over the north-rule corpus is
+exercised by bench.py and tests/test_pipeline_differential.py).
+
+``queries()``/``oracle_sql()`` — operator inventory per SURVEY.md §2,
+implemented in ``archvisier_spark.ops``; names and column aliases match
+pairwise with the DuckDB oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: metadata cascade → spans → lp → new_name over documents."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from archvisier_spark.kernel.cascade import extract_info_from_text
+    from archvisier_spark.kernel.naming import filename_for
+    from archvisier_spark.pipeline.extract import SPAN_TYPE, info_spans
+    from archvisier_spark.pipeline.numbering import with_sequence
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("data", T.StringType(), False),
+            T.StructField("nadawca_odbiorca", T.StringType(), False),
+            T.StructField("w_sprawie", T.StringType(), False),
+            T.StructField("numer_dokumentu", T.StringType(), False),
+            T.StructField("sygnatura_sprawy", T.StringType(), False),
+            T.StructField("typ_dokumentu", T.StringType(), False),
+            T.StructField("doc_status", T.StringType(), False),
+            T.StructField("spans", SPAN_TYPE, False),
+            T.StructField("n_chars", T.LongType(), False),
+        ]
+    )
+
+    def run_cascade(batches):
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                text = row.text or ""
+                info = extract_info_from_text(text, str(row.doc_id), "KP", "")
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "data": info["data"],
+                        "nadawca_odbiorca": info["nadawca_odbiorca"],
+                        "w_sprawie": info["w_sprawie"],
+                        "numer_dokumentu": info["numer_dokumentu"],
+                        "sygnatura_sprawy": info["sygnatura_sprawy"],
+                        "typ_dokumentu": info["typ_dokumentu"],
+                        "doc_status": info["status"],
+                        "spans": info_spans(text, info),
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    extracted = (
+        docs.select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .mapInPandas(run_cascade, schema)
+    )
+    numbered = with_sequence(
+        extracted.withColumn("work_mode", F.lit("KP")),
+        order_col="doc_id",
+        partition_cols=("work_mode",),
+        out_col="lp",
+    )
+
+    import pandas as pd  # noqa: F811 — needed in udf scope
+
+    @F.pandas_udf("string")
+    def name_udf(lp, syg, num, nad, typ, wsp):
+        return pd.Series(
+            [
+                filename_for(
+                    {
+                        "sygnatura_sprawy": s,
+                        "numer_dokumentu": n,
+                        "nadawca_odbiorca": na,
+                        "typ_dokumentu": t,
+                        "w_sprawie": w,
+                    },
+                    int(i),
+                )
+                for i, s, n, na, t, w in zip(lp, syg, num, nad, typ, wsp)
+            ]
+        )
+
+    return numbered.withColumn(
+        "new_name",
+        name_udf("lp", "sygnatura_sprawy", "numer_dokumentu", "nadawca_odbiorca", "typ_dokumentu", "w_sprawie"),
+    ).drop("work_mode")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from archvisier_spark.ops import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from archvisier_spark.ops import all_oracles
+
+    return all_oracles()

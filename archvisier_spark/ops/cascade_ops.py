@@ -1,0 +1,150 @@
+"""Kernel-backed operators over the driver tables.
+
+These run the byte-parity kernel inside Arrow-batched pandas UDFs — the
+operators whose Python-``re``/multiset semantics deliberately do NOT get
+translated to JVM regex (SURVEY.md §7 "regex engine parity").  Where exact
+SQL parity IS expressible (C-multiset token Jaccard), an oracle is
+provided; the cascade itself is rows-only (the byte-identity gate for it is
+the differential suite + golden tests, not DuckDB).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from archvisier_spark.kernel.cascade import extract_info_from_text
+from archvisier_spark.kernel.smart import find_document_type
+from archvisier_spark.kernel.textfix import correct_text
+
+INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.StringType(), False),
+        T.StructField("nadawca_odbiorca", T.StringType(), False),
+        T.StructField("w_sprawie", T.StringType(), False),
+        T.StructField("numer_dokumentu", T.StringType(), False),
+        T.StructField("sygnatura_sprawy", T.StringType(), False),
+        T.StructField("typ_dokumentu", T.StringType(), False),
+        T.StructField("doc_status", T.StringType(), False),
+    ]
+)
+
+
+@F.pandas_udf(INFO_SCHEMA)
+def cascade_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = []
+    for text in texts:
+        info = extract_info_from_text(text or "", "", "KP", "")
+        rows.append(
+            {
+                "data": info["data"],
+                "nadawca_odbiorca": info["nadawca_odbiorca"],
+                "w_sprawie": info["w_sprawie"],
+                "numer_dokumentu": info["numer_dokumentu"],
+                "sygnatura_sprawy": info["sygnatura_sprawy"],
+                "typ_dokumentu": info["typ_dokumentu"],
+                "doc_status": info["status"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(T.StringType())
+def doc_type_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([find_document_type(t or "") for t in texts])
+
+
+@F.pandas_udf(T.StringType())
+def correct_text_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+    return pd.Series([correct_text(t or "", lg) for t, lg in zip(texts, langs)])
+
+
+def q_cascade_metadata(spark, sf_dir):
+    """Full metadata cascade over documents.text (rows-only: Python-re
+    semantics are the point; byte-identity is pinned by the differential
+    suite)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
+    return (
+        docs.repartition(8, "doc_id")
+        .select("doc_id", cascade_udf("text").alias("info"))
+        .select("doc_id", "info.*")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    """Deterministic document fingerprint: FNV-1a rolling hash of the
+    token stream (rows-only; engine-independent value, pinned by
+    tests/test_ops_dedup.py)."""
+
+    @F.pandas_udf(T.LongType())
+    def fnv_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            h = 0xCBF29CE484222325
+            for byte in (text or "").encode("utf-8"):
+                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return pd.Series(out, dtype="int64")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
+    return docs.select("doc_id", fnv_udf("text").alias("fingerprint"))
+
+
+# --- K1 with full C-multiset semantics — exactly expressible in SQL ---
+
+def q_token_similarity_c(spark, sf_dir):
+    """C-kernel token Jaccard (multiset, round 6) over part-name pairs
+    within a brand: intersection counts duplicate tokens of `a`
+    individually; union adds b-tokens absent from a
+    (native_c/token_similarity.c:56-72)."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", F.split(F.col("p_name"), r"\s+").alias("toks")
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    inter = F.size(F.filter(F.col("a.toks"), lambda t: F.array_contains(F.col("b.toks"), t)))
+    union = F.size(F.col("a.toks")) + F.size(
+        F.filter(F.col("b.toks"), lambda t: ~F.array_contains(F.col("a.toks"), t))
+    )
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(F.round(inter / union, 6))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            sim.alias("token_sim"),
+        )
+        .filter(F.col("token_sim") >= 0.3)
+    )
+
+
+_TOKEN_SIM_C_SQL = """
+WITH toks AS (
+  SELECT p_partkey, p_brand, string_split_regex(p_name, '\\s+') AS toks FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CASE WHEN (len(a.toks) + len(list_filter(b.toks, t -> NOT list_contains(a.toks, t)))) = 0
+            THEN 0.0
+            ELSE round(len(list_filter(a.toks, t -> list_contains(b.toks, t)))::DOUBLE
+                       / (len(a.toks) + len(list_filter(b.toks, t -> NOT list_contains(a.toks, t)))), 6)
+       END AS token_sim
+FROM toks a JOIN toks b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE CASE WHEN (len(a.toks) + len(list_filter(b.toks, t -> NOT list_contains(a.toks, t)))) = 0
+           THEN 0.0
+           ELSE round(len(list_filter(a.toks, t -> list_contains(b.toks, t)))::DOUBLE
+                      / (len(a.toks) + len(list_filter(b.toks, t -> NOT list_contains(a.toks, t)))), 6)
+      END >= 0.3
+"""
+
+
+QUERIES = {
+    "cascade_metadata": q_cascade_metadata,
+    "cascade_fingerprints": q_fingerprints,
+    "k1_token_similarity_c": q_token_similarity_c,
+}
+
+ORACLES = {
+    # cascade_metadata, cascade_fingerprints: Python-re / rolling-hash
+    # semantics → rows-only driver check (byte-identity pinned in tests/)
+    "k1_token_similarity_c": _TOKEN_SIM_C_SQL,
+}

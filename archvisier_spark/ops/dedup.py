@@ -1,0 +1,252 @@
+"""Deduplication operators over ``documents`` — the 100 TB pipeline tier.
+
+* exact dedup        — hash-groupBy on content digest (SQL oracle)
+* token-Jaccard near-dup — set-semantics pair join within buckets (SQL
+  oracle; the K1 *C multiset* semantics live in cascade_ops with their own
+  oracle)
+* MinHash + LSH      — shingle → minhash sketch → banded bucket join,
+  all JVM built-ins (rows-only: sketch hashes are engine-specific; recall
+  vs brute force is pinned by tests/test_ops_dedup.py)
+* SimHash            — vectorized Pandas-UDF sketch (rows-only)
+
+Scale notes: every pair join is bucketed (band signature or
+(source, lang)), never a full cross join; the MinHash path is the one
+that survives 10^12 docs — candidate generation is a shuffle on band
+signatures, O(n·bands), and AQE handles residual bucket skew.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MINHASH_K = 32          # sketch size
+# 16 bands × 2 rows: high-recall banding (P[match] = 1-(1-s²)^16 ≈ 1 for
+# s ≥ 0.7).  False candidates are cheap — every candidate is re-verified
+# with exact Jaccard before acting — missed true pairs are lost forever.
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SHINGLE = 3             # token-shingle width
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup: digest groupBy (S/A tier; trivially shuffle-minimal) ---
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+        .groupBy()
+        .agg(
+            F.count("*").alias("dup_groups"),
+            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("removable_docs"),
+        )
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT count(*) AS dup_groups,
+       coalesce(sum(n_copies - 1), 0) AS removable_docs
+FROM (
+  SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper_id
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+)
+"""
+
+
+# --- token-set Jaccard near-dup within (source, lang) buckets ---
+
+def q_near_dup_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", "lang",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    ).filter(F.col("doc_id") < 1000)
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.toks", "b.toks"))
+        / F.size(F.array_union("a.toks", "b.toks")),
+        4,
+    )
+    return (
+        pairs.select(F.col("a.source").alias("source"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_near_dup_pairs"))
+    )
+
+
+_NEAR_DUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 1000
+)
+SELECT a.source AS source, count(*) AS n_near_dup_pairs
+FROM toks a JOIN toks b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.8
+GROUP BY 1
+"""
+
+
+# --- MinHash + LSH: the scale path (all JVM built-ins) ---
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id + k-wide minhash sketch over 3-token shingles.
+
+    Shingling, hashing and the min-reduction are Spark built-ins
+    (``transform``/``sequence``/``hash``/``array_min``) — whole-stage
+    codegen, zero Python.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    n_shingles = F.greatest(F.size(toks) - (SHINGLE - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(seed))))
+            for seed in range(k)
+        ]
+    )
+    return (
+        docs.select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: equal band-slice signature → candidate pair.
+
+    Explode to (band_id, band_hash) and self-join on the bucket — the only
+    shuffle is on band signatures, so cost is O(n·bands) rows, not O(n²).
+    """
+    rows = MINHASH_K // bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Candidate pairs via MinHash-LSH, verified with exact token Jaccard.
+
+    Rows-only driver check (hash values are engine-specific); recall vs
+    brute force is asserted in tests/test_ops_dedup.py.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks")
+    )
+    verified = (
+        cands.join(toks.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(toks.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# --- SimHash: 64-bit sketch via vectorized Pandas UDF ---
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (NumPy-vectorized per batch).
+
+    Built-ins can't express the 64-lane bit-vote, so this is the sanctioned
+    Pandas-UDF escape hatch (Arrow-batched, no per-row Python on the JVM
+    side)."""
+    import numpy as np
+
+    out = []
+    for text in texts:
+        toks = text.split() if text else []
+        if not toks:
+            out.append(0)
+            continue
+        # deterministic 64-bit token hashes (FNV-1a), engine-independent
+        hashes = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in t.encode("utf-8"):
+                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hashes[i] = h
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        out.append(int(sig.astype(np.int64)))
+    return pd.Series(out, dtype="int64")
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash sketches bucketed by top-16 bits; rows-only check."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    return (
+        docs.select("doc_id", simhash64("text").alias("simhash"))
+        .withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_exact_dedup,
+    "dedup_near_jaccard": q_near_dup_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh_dedup,
+    "dedup_simhash_buckets": q_simhash_buckets,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_DEDUP_SQL,
+    "dedup_near_jaccard": _NEAR_DUP_SQL,
+    # dedup_minhash_lsh, dedup_simhash_buckets: engine-specific hashes →
+    # rows-only driver check; correctness pinned by tests/test_ops_dedup.py
+}

@@ -1,0 +1,117 @@
+"""Event-stream operators over the ``events`` table.
+
+Batch forms of the streaming surface (SURVEY.md §2.10): tumbling-window
+aggregation, retention (A5), progress-style counters (A6/A2), argmax per
+key (T3/J3).  The Structured-Streaming versions of the same transforms
+live in archvisier_spark.streaming and are differential-tested against
+these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --- tumbling hourly window counts (streaming analog) ---
+
+def q_hourly_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- A5 retention: keep last 3 events per user ---
+
+def q_retention_last3(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_kept"), F.round(F.sum("value"), 2).alias("kept_value"))
+    )
+
+
+_RETENTION_SQL = """
+SELECT user_id, count(*) AS n_kept, round(sum(value), 2) AS kept_value
+FROM (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+GROUP BY user_id
+"""
+
+
+# --- T3/J3 argmax: most valuable event type per user ---
+
+def q_argmax_event(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_type, struct(value, event_id))").alias("top_event_type"),
+        F.round(F.max("value"), 2).alias("top_value"),
+    )
+
+
+_ARGMAX_SQL = """
+SELECT user_id,
+       min(CASE WHEN rn = 1 THEN event_type END) AS top_event_type,
+       round(max(value), 2) AS top_value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# --- A8 error collection: errors are rows, never failures ---
+
+def q_error_rates(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+    )
+
+
+_ERROR_RATES_SQL = """
+SELECT event_type, count(*) AS n, round(avg(value), 3) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_counts": q_hourly_counts,
+    "events_retention_last3": q_retention_last3,
+    "events_argmax_event": q_argmax_event,
+    "events_error_rates": q_error_rates,
+}
+
+ORACLES = {
+    "events_hourly_counts": _HOURLY_SQL,
+    "events_retention_last3": _RETENTION_SQL,
+    "events_argmax_event": _ARGMAX_SQL,
+    "events_error_rates": _ERROR_RATES_SQL,
+}

@@ -1,0 +1,238 @@
+"""Similarity search over the ``embeddings`` table (K2 at scale).
+
+* brute-force cosine top-k — the correctness baseline (SQL oracle via
+  DuckDB ``list_cosine_similarity``)
+* norm / centroid statistics — vector aggregates as plain SQL
+* random-hyperplane LSH ANN — the scale path: signature bucketing bounds
+  the candidate set; recall vs brute force pinned by
+  tests/test_ops_simsearch.py (rows-only driver check)
+
+The cosine kernel is pure built-ins: ``aggregate(zip_with(a,b,(x,y)->x*y))``
+runs in whole-stage codegen (SURVEY.md §2.4 K2 — "no UDF needed").
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOP_K = 5
+N_QUERIES = 5
+LSH_PLANES = 12          # total hyperplanes
+LSH_BANDS = 3            # signature bands; candidate = any band matches
+EMB_DIM = 64
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity as a codegen'd column expression; 0.0 on zero norm
+    (K2 contract, native/fast_similarity.c:10-24)."""
+    dot = _dot(a, b)
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+# --- brute-force top-k: correctness baseline ---
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c"))
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine_col("q", "c").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cosine"))
+    )
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, rk, round(cos, 4) AS cosine
+FROM (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
+# --- vector norm statistics per label (vector agg as plain SQL) ---
+
+def q_norm_stats(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(_dot("embedding", "embedding"))
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+_NORM_STATS_SQL = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       round(min(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
+       round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+# --- random-hyperplane LSH: the ANN scale path ---
+
+def _planes(seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)
+    ]
+
+
+def band_signature_cols(vec_col, planes: list[list[float]], bands: int = LSH_BANDS):
+    """Sign-of-projection bit signatures, one packed int per band (built-ins).
+
+    Banding (OR-amplification) trades precision for recall exactly like
+    MinHash-LSH banding: a candidate matches if ANY band signature agrees."""
+    per_band = len(planes) // bands
+    sigs = []
+    for b in range(bands):
+        bits = [
+            F.when(
+                _dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes[b * per_band : (b + 1) * per_band])
+        ]
+        out = bits[0]
+        for bit in bits[1:]:
+            out = out + bit
+        sigs.append(out.cast("long").alias(f"sig{b}"))
+    return sigs
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k: exact cosine ranking restricted to band-matched buckets.
+
+    Candidate generation explodes each vector to (band_id, band_sig) rows
+    and joins on the bucket — shuffle is O(n·bands), never O(n²).
+    Rows-only driver check (buckets depend on the seeded planes); recall
+    vs the brute-force baseline is asserted in tests/test_ops_simsearch.py.
+    """
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    signed = emb.select("vec_id", "embedding", *band_signature_cols("embedding", planes))
+    banded = signed.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"sig{b}").alias("band_sig"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.band_sig")
+    queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("band_id").alias("qband_id"),
+        F.col("band_sig").alias("qband_sig"),
+    )
+    scored = (
+        banded.join(
+            F.broadcast(queries),
+            (F.col("band_id") == F.col("qband_id")) & (F.col("band_sig") == F.col("qband_sig")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cosine_col("q", "embedding").alias("cos"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.first("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# --- J2 analog: similar-document recall with threshold (top-3, > 0.2) ---
+
+def q_similar_above_threshold(spark, sf_dir):
+    """The reference's memory-recall join J2: top-3 by cosine, kept only
+    above 0.2 (context_analyzer.py:250-256)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c")
+    )
+    scored = cands.crossJoin(F.broadcast(queries)).select(
+        "query_id", "cand_id", cosine_col("q", "c").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("cos") > 0.2))
+        .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+_SIMILAR_THRESHOLD_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {N_QUERIES}
+)
+SELECT query_id, cand_id, round(cos, 4) AS cosine
+FROM (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3 AND cos > 0.2
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": q_cosine_topk,
+    "sim_norm_stats": q_norm_stats,
+    "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "sim_similar_above_threshold": q_similar_above_threshold,
+}
+
+ORACLES = {
+    "sim_cosine_topk": _COSINE_TOPK_SQL,
+    "sim_norm_stats": _NORM_STATS_SQL,
+    "sim_similar_above_threshold": _SIMILAR_THRESHOLD_SQL,
+    # sim_ann_lsh_topk: seeded-plane bucketing → rows-only driver check
+}

@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Covers the reference's scalar text tier re-expressed on Spark built-ins
+(F2 header slice, F6 needs-value predicate, X10 lang heuristic, A3
+group-concat, A4 quality score) plus the training-data-pipeline operators
+the 100 TB use-case needs: token counting, quality scoring, language ID.
+All are JVM-side expressions — no Python in these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for the quality heuristic (public knowledge).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- X10: language-ID heuristic (diacritics class) + distribution ---
+
+def q_lang_heuristic(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .withColumn(
+            "detected",
+            F.when(F.lower(F.col("text")).rlike("[ąćęłńóśżź]"), F.lit("pl")).otherwise(F.lit("en")),
+        )
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_LANG_SQL = f"""
+SELECT lang,
+       CASE WHEN regexp_matches(lower(text), '[ąćęłńóśżź]') THEN 'pl' ELSE 'en' END AS detected,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --- F2 header slice + token counting (whitespace tokenizer) ---
+
+def q_header_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    header = F.substring("text", 1, 500)
+    return docs.select(
+        "doc_id",
+        F.length(header).alias("header_chars"),
+        F.size(F.split(F.trim(header), r"\s+")).alias("header_tokens"),
+    ).filter(F.col("doc_id") < 200)
+
+
+_HEADER_TOKENS_SQL = """
+SELECT doc_id,
+       length(substr(text, 1, 500)) AS header_chars,
+       len(string_split_regex(trim(substr(text, 1, 500)), '\\s+')) AS header_tokens
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+# --- A4-style quality scoring: length / stopword ratio / punct ratio ---
+
+def q_quality_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+    )
+    return scored.groupBy("source").agg(
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> list_contains({list(STOPWORDS)!r}, t)))
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents
+)
+SELECT source,
+       round(avg(n_tokens), 3)         AS avg_tokens,
+       round(avg(stopword_ratio), 4)   AS avg_stopword_ratio,
+       round(avg(punct_ratio), 4)      AS avg_punct_ratio,
+       count(*)                        AS n_docs
+FROM scored GROUP BY source
+"""
+
+
+# --- F6: needs-value predicate (empty / shorter than 3) ---
+
+def q_needs_value(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    first_tok = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    return (
+        docs.withColumn(
+            "needs_value",
+            F.when(first_tok.isNull() | (F.length(first_tok) < 3), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("lang")
+        .agg(F.sum("needs_value").alias("n_needing"), F.count("*").alias("n_total"))
+    )
+
+
+_NEEDS_VALUE_SQL = """
+SELECT lang,
+       sum(CASE WHEN t IS NULL OR length(t) < 3 THEN 1 ELSE 0 END) AS n_needing,
+       count(*) AS n_total
+FROM (SELECT lang, string_split_regex(trim(text), '\\s+')[1] AS t FROM documents)
+GROUP BY lang
+"""
+
+
+# --- A3: entity-style group-concat with deterministic ordering ---
+
+def q_group_concat_sources(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return docs.groupBy("lang").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.col("source")))).alias("sources_joined"),
+        F.count("*").alias("n"),
+    )
+
+
+_GROUP_CONCAT_SQL = """
+SELECT lang, string_agg(source, ' ' ORDER BY source) AS sources_joined, count(*) AS n
+FROM documents WHERE doc_id < 60
+GROUP BY lang
+"""
+
+
+# --- T6: seeded random split sizes (distribution contract only) ---
+
+def q_doc_length_histogram(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars") / 100).cast("int")
+    return docs.groupBy(bucket.alias("len_bucket")).agg(F.count("*").alias("n_docs"))
+
+
+_LENGTH_HISTO_SQL = """
+SELECT CAST(n_chars // 100 AS INT) AS len_bucket, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_lang_heuristic": q_lang_heuristic,
+    "text_header_tokens": q_header_tokens,
+    "text_quality_scores": q_quality_scores,
+    "text_needs_value": q_needs_value,
+    "text_group_concat_sources": q_group_concat_sources,
+    "text_length_histogram": q_doc_length_histogram,
+}
+
+ORACLES = {
+    "text_lang_heuristic": _LANG_SQL,
+    "text_header_tokens": _HEADER_TOKENS_SQL,
+    "text_quality_scores": _QUALITY_SQL,
+    "text_needs_value": _NEEDS_VALUE_SQL,
+    "text_group_concat_sources": _GROUP_CONCAT_SQL,
+    "text_length_histogram": _LENGTH_HISTO_SQL,
+}
