@@ -1,0 +1,99 @@
+"""spark-submit entrypoint — the north rule's packaging surface.
+
+Usage (cluster)::
+
+    scripts/package.sh                         # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        archvisier_spark/job.py \\
+        --input  s3://bucket/documents_web    \\
+        --output s3://bucket/extracted        \\
+        --checkpoint s3://bucket/extract_ckpt \\
+        --n-chunks 4096 --finalize
+
+Local smoke::
+
+    python archvisier_spark/job.py --synthesize 200 \\
+        --output /tmp/out --checkpoint /tmp/ckpt --n-chunks 8 --finalize
+
+Resumable by construction: re-running the same command after any failure
+skips completed chunks and replaces half-written ones
+(archvisier_spark.pipeline.lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="ArchVisier-Spark extraction job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet/Iceberg path of documents_web table")
+    src.add_argument("--synthesize", type=int, metavar="N",
+                     help="generate an N-doc deterministic corpus instead of reading input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-chunks", type=int, default=64)
+    p.add_argument("--max-chunks-per-run", type=int, default=None)
+    p.add_argument("--language", default="auto")
+    p.add_argument("--work-mode", default="KP")
+    p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    p.add_argument("--finalize", action="store_true",
+                   help="after all chunks complete, write numbered+named output")
+    args = p.parse_args(argv)
+
+    from archvisier_spark.session import get_spark
+    from archvisier_spark.corpus import corpus_df
+    from archvisier_spark.pipeline.lineage import (
+        completed_chunks, finalize_names, lineage_report, run_resumable,
+    )
+
+    spark = get_spark(master=args.master, app_name="archvisier_extract")
+    docs = (
+        corpus_df(spark, args.synthesize, skew_every=100, skew_factor=500)
+        if args.synthesize
+        else spark.read.parquet(args.input)
+    )
+
+    processed = run_resumable(
+        spark,
+        docs,
+        args.output,
+        args.checkpoint,
+        n_chunks=args.n_chunks,
+        max_chunks_per_run=args.max_chunks_per_run,
+        language=args.language,
+        work_mode=args.work_mode,
+    )
+    done = completed_chunks(spark, args.checkpoint)
+    report = {
+        "chunks_processed_this_run": processed,
+        "chunks_complete": len(done),
+        "chunks_total": args.n_chunks,
+    }
+
+    if args.finalize and len(done) == args.n_chunks:
+        named = finalize_names(spark, args.output, work_mode=args.work_mode)
+        named.write.mode("overwrite").parquet(args.output.rstrip("/") + "_named")
+        report["finalized_rows"] = spark.read.parquet(
+            args.output.rstrip("/") + "_named"
+        ).count()
+
+    lineage = lineage_report(spark, args.checkpoint)
+    report["lineage_docs"] = lineage.groupBy().sum("n_docs").collect()[0][0]
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    # invoked as a file path (python archvisier_spark/job.py …): the script
+    # dir, not the repo root, is on sys.path — add the package's parent so
+    # the engine imports resolve (spark-submit --py-files does this via the
+    # shipped zip)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(main())

@@ -7,8 +7,7 @@ the diacritics language heuristic of processing/ocr.py:66-70.
 from __future__ import annotations
 
 import re
-
-from archvisier_spark.kernel.similarity import levenshtein
+from functools import lru_cache
 
 # Reference fallback dictionaries (processing/ocr.py:108-109).  Stored as
 # sorted tuples so nearest-word ties resolve deterministically — the
@@ -21,17 +20,63 @@ ENGLISH_DICTIONARY: tuple[str, ...] = ("example", "test")
 _TOKEN_SPLIT = re.compile(r"(\W+)")
 _POLISH_CHARS = frozenset("ąćęłńóśżź")
 
+# Repair accepts a replacement only at distance ≤ 2, so the argmin over the
+# dictionary only matters for distances ≤ 2 (dictionary words are mutually
+# > 4 apart, so at most one candidate can be within 2 — no ambiguous argmin
+# exists).  That licenses two exact-semantics fast paths: a length
+# pre-filter (|len(a)-len(b)| > 2 ⇒ distance > 2) and a banded DP that
+# gives exact values ≤ 2 and saturates at 3 otherwise.
+_CUTOFF = 2
+
+
+def _bounded_levenshtein(a: str, b: str, k: int = _CUTOFF) -> int:
+    """Exact edit distance if ≤ k, else any value > k (Ukkonen band)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    prev = list(range(lb + 1))
+    big = k + 1
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        cur[0] = i if i <= k else big
+        ca = a[i - 1]
+        row_min = cur[0] if lo == 1 else big
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return big
+        prev = cur
+    return prev[lb]
+
+
+@lru_cache(maxsize=1 << 16)
+def _repair_word(lower: str, dictionary: tuple[str, ...]) -> str | None:
+    """Replacement word for ``lower``, or None to keep the token.
+
+    Pure function of (token, dictionary) → safe to memoise; OCR text
+    repeats its vocabulary heavily, so the cache turns the per-token DP
+    into a dict lookup on the hot path."""
+    if lower in dictionary:
+        return None
+    best, best_d = None, _CUTOFF + 1
+    for w in dictionary:
+        d = _bounded_levenshtein(lower, w)
+        if d < best_d:
+            best, best_d = w, d
+    return best if best_d <= _CUTOFF else None
+
 
 def _repair_token(token: str, dictionary: tuple[str, ...]) -> str:
     if not token.isalpha():
         return token
-    lower = token.lower()
-    if lower in dictionary:
-        return token
-    best = min(dictionary, key=lambda w: levenshtein(lower, w))
-    if levenshtein(lower, best) <= 2:
-        return best
-    return token
+    repl = _repair_word(token.lower(), dictionary)
+    return token if repl is None else repl
 
 
 def correct_text(text: str, lang: str) -> str:

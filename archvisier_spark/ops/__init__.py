@@ -9,12 +9,16 @@ Float discipline: every double aggregate is ``round(…, N)`` on BOTH sides
 so summation-order LSB noise can't flip the hash.
 """
 
-from archvisier_spark.ops import tpch, textops, dedup, simsearch, events, cascade_ops
+from archvisier_spark.ops import (
+    tpch, textops, dedup, simsearch, events, cascade_ops, multimodal,
+)
+
+_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, multimodal)
 
 
 def all_queries():
     out = {}
-    for mod in (tpch, textops, dedup, simsearch, events, cascade_ops):
+    for mod in _MODULES:
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -24,6 +28,6 @@ def all_queries():
 
 def all_oracles():
     out = {}
-    for mod in (tpch, textops, dedup, simsearch, events, cascade_ops):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

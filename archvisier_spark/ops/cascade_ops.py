@@ -137,14 +137,118 @@ WHERE CASE WHEN (len(a.toks) + len(list_filter(b.toks, t -> NOT list_contains(a.
 """
 
 
+# --- K4 fuzzy similarity (final-fallback form): 1 - lev/max(len) ---
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """The reference's correction-matching kernel (context_analyzer.py:24-42
+    final fallback) as a pair join.  Customer names share a fixed prefix,
+    so the acceptance threshold here is 0.9 (≤1 differing char) and the
+    result aggregates per segment — the reference's own 0.7 gate appears
+    where it belongs, on the argmax join J3 (events_argmax_event models
+    the argmax; the kernel's 0.7 literal is golden-tested)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    sim = F.when(F.col("a.c_name") == F.col("b.c_name"), F.lit(1.0)).otherwise(
+        F.round(
+            1
+            - F.levenshtein("a.c_name", "b.c_name")
+            / F.greatest(F.length("a.c_name"), F.length("b.c_name")),
+            6,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_mktsegment").alias("segment"), sim.alias("fuzzy_sim"))
+        .filter(F.col("fuzzy_sim") >= 0.9)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_close_pairs"),
+             F.round(F.avg("fuzzy_sim"), 6).alias("avg_sim"))
+    )
+
+
+_FUZZY_PAIRS_SQL = """
+WITH sims AS (
+  SELECT a.c_mktsegment AS segment,
+         CASE WHEN a.c_name = b.c_name THEN 1.0
+              ELSE round(1 - levenshtein(a.c_name, b.c_name)::DOUBLE
+                         / greatest(length(a.c_name), length(b.c_name)), 6)
+         END AS fuzzy_sim
+  FROM customer a JOIN customer b
+    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+)
+SELECT segment, count(*) AS n_close_pairs, round(avg(fuzzy_sim), 6) AS avg_sim
+FROM sims WHERE fuzzy_sim >= 0.9
+GROUP BY segment
+"""
+
+
+# --- X12 filename sanitisation (ASCII \w scrub) ---
+
+def q_sanitize_names(spark, sf_dir):
+    """gui/pdf_processor_app.py:193 scrub as a built-in: Java regex \\w is
+    ASCII by default, matching Python re.ASCII exactly (verified by the
+    kernel golden test 'żółć.txt → ____.txt')."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_partkey") < 120)
+    return parts.select(
+        "p_partkey",
+        F.regexp_replace(F.concat(F.col("p_name"), F.lit(".pdf")), r"[^\w.-]", "_").alias(
+            "safe_name"
+        ),
+    )
+
+
+_SANITIZE_SQL = """
+SELECT p_partkey, regexp_replace(p_name || '.pdf', '[^\\w.-]', '_', 'g') AS safe_name
+FROM part WHERE p_partkey < 120
+"""
+
+
+# --- X18-lite: first-occurrence character offsets (span contract, SQL form) ---
+
+def q_first_occurrence_offsets(spark, sf_dir):
+    """Literal-substring offset search (training_engine.py:48-56) in its
+    SQL-expressible first-hit form: 1-based position of a needle in each
+    document, 0 when absent.  The all-occurrences array stays kernel-side
+    (cascade/spans) with rows-only checks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.instr(F.col("text"), F.lit("data")).alias("pos_data"),
+        F.instr(F.col("text"), F.lit("spark")).alias("pos_spark"),
+        F.instr(F.col("text"), F.lit("merge")).alias("pos_merge"),
+    )
+
+
+_FIRST_OCCURRENCE_SQL = """
+SELECT doc_id,
+       strpos(text, 'data')  AS pos_data,
+       strpos(text, 'spark') AS pos_spark,
+       strpos(text, 'merge') AS pos_merge
+FROM documents WHERE doc_id < 300
+"""
+
+
 QUERIES = {
     "cascade_metadata": q_cascade_metadata,
     "cascade_fingerprints": q_fingerprints,
     "k1_token_similarity_c": q_token_similarity_c,
+    "k4_fuzzy_pairs": q_fuzzy_pairs,
+    "x12_sanitize_names": q_sanitize_names,
+    "x18_first_occurrence": q_first_occurrence_offsets,
 }
 
 ORACLES = {
     # cascade_metadata, cascade_fingerprints: Python-re / rolling-hash
     # semantics → rows-only driver check (byte-identity pinned in tests/)
     "k1_token_similarity_c": _TOKEN_SIM_C_SQL,
+    "k4_fuzzy_pairs": _FUZZY_PAIRS_SQL,
+    "x12_sanitize_names": _SANITIZE_SQL,
+    "x18_first_occurrence": _FIRST_OCCURRENCE_SQL,
 }

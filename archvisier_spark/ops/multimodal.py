@@ -1,0 +1,176 @@
+"""Multimodal columns: image/audio/video payloads as opaque binary + typed
+metadata (training-data-pipeline tier).
+
+The container ships no image/audio codecs, so the DECODE step is stubbed —
+deterministic synthetic decode for fixture payloads, ``NotImplementedError``
+for real media — while everything Spark-side is real and tested: schema,
+partitioning, Arrow batch shape, UDF signatures, and the metadata
+extraction that CAN be done on raw bytes (magic sniffing, dimensions from
+container headers we synthesise).
+
+Fixture format ("SIMG"): ``b"SIMG" + width:u32 + height:u32 + channels:u8
++ payload`` — a stand-in container whose header parsing is real byte-level
+work with a DuckDB-checkable oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+SIMG_MAGIC = b"SIMG"
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def build_simg(width: int, height: int, channels: int, seed: int) -> bytes:
+    """Deterministic synthetic image container (fixture generator)."""
+    n = width * height * channels
+    payload = bytes((seed * 2654435761 + i * 40503) & 0xFF for i in range(min(n, 4096)))
+    return SIMG_MAGIC + struct.pack("<IIB", width, height, channels) + payload
+
+
+def media_table(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    """Fixture media table: (media_id, kind, blob)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "junk")[i % 3]
+        if kind == "image":
+            blob = build_simg(rng.randint(8, 512), rng.randint(8, 512), rng.choice([1, 3]), i)
+        elif kind == "audio":
+            blob = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + bytes(16)
+        else:
+            blob = bytes([i % 256]) * rng.randint(1, 64)
+        rows.append({"media_id": i, "kind": kind, "blob": blob})
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("blob", T.BinaryType(), False),
+        ]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
+def parse_media_metadata(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Byte-level header parse → typed metadata rows (mapInPandas).
+
+    Real work: magic sniff + header decode; malformed blobs become error
+    ROWS (status), mirroring the extraction pipeline's errors-are-data
+    contract."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                blob = bytes(row.blob)
+                rec = {
+                    "media_id": row.media_id,
+                    "format": "unknown",
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "n_bytes": len(blob),
+                    "status": "ok",
+                }
+                try:
+                    if blob[:4] == SIMG_MAGIC:
+                        w, h, c = struct.unpack_from("<IIB", blob, 4)
+                        rec.update(format="simg", width=w, height=h, channels=c)
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                        rec.update(format="wav")
+                    else:
+                        rec.update(status="unrecognized container")
+                except Exception as e:
+                    rec.update(status=f"parse error: {e}")
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    return df.repartition(n_parts, "media_id").mapInPandas(parse, IMAGE_META_SCHEMA)
+
+
+def decode_image(blob: bytes) -> "object":
+    """STUB — real pixel decode needs PIL/libjpeg, absent in this sandbox.
+
+    The SIMG fixture path decodes deterministically (so the Spark plumbing
+    around decode is testable); any real container raises, clearly marked.
+    On a cluster image, swap the body for ``PIL.Image.open``."""
+    if blob[:4] == SIMG_MAGIC:
+        w, h, c = struct.unpack_from("<IIB", blob, 4)
+        return {"width": w, "height": h, "channels": c, "pixels": blob[13:]}
+    raise NotImplementedError("real image decode requires PIL/libjpeg (not in sandbox)")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def image_features(df: DataFrame, target: int = 32) -> DataFrame:
+    """Decode → "resize" (dimension math) → tiny byte-histogram feature.
+
+    The batch shape is the real thing (Arrow in/out, one init per
+    partition); only the pixel decode is the deterministic stub."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                rec = {"media_id": row.media_id, "out_width": None,
+                       "out_height": None, "feature": None, "status": "ok"}
+                try:
+                    img = decode_image(bytes(row.blob))
+                    scale = target / max(img["width"], img["height"])
+                    rec["out_width"] = max(1, round(img["width"] * min(scale, 1.0)))
+                    rec["out_height"] = max(1, round(img["height"] * min(scale, 1.0)))
+                    hist = np.bincount(
+                        np.frombuffer(img["pixels"], dtype=np.uint8) >> 4, minlength=16
+                    ).astype("float32")
+                    total = float(hist.sum()) or 1.0
+                    rec["feature"] = (hist / total).tolist()
+                except NotImplementedError:
+                    rec["status"] = "decode not available"
+                except Exception as e:
+                    rec["status"] = f"error: {e}"
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.filter(F.col("kind") == "image").mapInPandas(featurize, RESIZE_SCHEMA)
+
+
+def q_media_metadata(spark, sf_dir):
+    """Rows-only driver check over the fixture media table (byte-header
+    parsing; pinned by tests/test_ops_multimodal.py)."""
+    return parse_media_metadata(media_table(spark)).groupBy("format", "status").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+QUERIES = {"media_metadata": q_media_metadata}
+ORACLES: dict[str, str] = {}

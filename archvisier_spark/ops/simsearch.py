@@ -223,16 +223,55 @@ FROM (
 """
 
 
+# --- embedding-cosine near-dup pairs within label buckets ---
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate detection: pairs within a label bucket
+    whose cosine exceeds 0.30 — ≈ the 99.9th percentile of this corpus's
+    centered random embeddings, so the filter selects a real tail (dedup
+    tier for vector-indexed corpora; bucketing bounds the pair join
+    exactly like the LSH variants)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 600)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.30)
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 600 AND b.vec_id < 600
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.30
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_norm_stats": q_norm_stats,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
     "sim_similar_above_threshold": q_similar_above_threshold,
+    "sim_embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
     "sim_cosine_topk": _COSINE_TOPK_SQL,
     "sim_norm_stats": _NORM_STATS_SQL,
     "sim_similar_above_threshold": _SIMILAR_THRESHOLD_SQL,
+    "sim_embedding_near_dup": _EMB_NEAR_DUP_SQL,
     # sim_ann_lsh_topk: seeded-plane bucketing → rows-only driver check
 }

@@ -29,11 +29,6 @@ from archvisier_spark.kernel.naming import filename_for
 from archvisier_spark.kernel.spans import detect_document_type_span, find_all_occurrences
 from archvisier_spark.pipeline.numbering import with_sequence
 
-# Rows with payloads above this go through a dedicated high-parallelism pass
-# — megabyte-scale PDFs are the documented skew source (SURVEY.md §4
-# "Skew from megabyte-scale PDFs"; AQE splits join skew, not UDF-stage skew).
-SKEW_BYTES_THRESHOLD = 1 << 20
-
 SPAN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -93,40 +88,76 @@ def info_spans(text: str, info: dict) -> list[dict]:
     return spans
 
 
+def _metadata_columns(cols: dict, url, warc_ts, lang, fmt, text, status, n_bytes,
+                      work_mode: str, case_signature: str) -> None:
+    """Append one output row (cascade + spans) to the column accumulators."""
+    info = extract_info_from_text(text, url, work_mode, case_signature)
+    cols["url"].append(url)
+    cols["warc_ts"].append(warc_ts)
+    cols["lang"].append(lang)
+    cols["format"].append(fmt)
+    cols["extracted_text"].append(text)
+    cols["status"].append(status)
+    cols["data"].append(info["data"])
+    cols["nadawca_odbiorca"].append(info["nadawca_odbiorca"])
+    cols["w_sprawie"].append(info["w_sprawie"])
+    cols["numer_dokumentu"].append(info["numer_dokumentu"])
+    cols["sygnatura_sprawy"].append(info["sygnatura_sprawy"])
+    cols["typ_dokumentu"].append(info["typ_dokumentu"])
+    cols["doc_status"].append(info["status"])
+    cols["colors"].append(info["colors"])
+    cols["spans"].append(info_spans(text, info))
+    cols["n_chars"].append(len(text))
+    cols["n_bytes"].append(n_bytes)
+
+
+_FIELD_NAMES = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
 def make_extract_batch(language: str, work_mode: str, case_signature: str):
     """Build the mapInPandas function (closure keeps config serialisable)."""
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out: list[dict] = []
-            for row in batch.itertuples(index=False):
-                payload = bytes(row.html) if row.html is not None else None
+            # column-wise accumulation: cheaper pandas/Arrow materialisation
+            # than a list of per-row dicts
+            cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
+            for url, warc_ts, html, lang in zip(
+                batch["url"], batch["warc_ts"], batch["html"], batch["lang"]
+            ):
+                payload = bytes(html) if html is not None else None
                 text, status, fmt = extract_document_text(payload, language)
-                info = extract_info_from_text(text, row.url, work_mode, case_signature)
-                out.append(
-                    {
-                        "url": row.url,
-                        "warc_ts": row.warc_ts,
-                        "lang": row.lang,
-                        "format": fmt,
-                        "extracted_text": text,
-                        "status": status,
-                        "data": info["data"],
-                        "nadawca_odbiorca": info["nadawca_odbiorca"],
-                        "w_sprawie": info["w_sprawie"],
-                        "numer_dokumentu": info["numer_dokumentu"],
-                        "sygnatura_sprawy": info["sygnatura_sprawy"],
-                        "typ_dokumentu": info["typ_dokumentu"],
-                        "doc_status": info["status"],
-                        "colors": info["colors"],
-                        "spans": info_spans(text, info),
-                        "n_chars": len(text),
-                        "n_bytes": len(payload) if payload else 0,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+                _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
+                                  len(payload) if payload else 0,
+                                  work_mode, case_signature)
+            yield pd.DataFrame(cols, columns=_FIELD_NAMES)
 
     return extract_batch
+
+
+def make_metadata_batch(work_mode: str, case_signature: str):
+    """mapInPandas stage over rows whose text is ALREADY extracted
+    (page-parallel path): runs only the cascade + spans."""
+
+    def metadata_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
+            for url, warc_ts, lang, fmt, text, status, n_bytes in zip(
+                batch["url"], batch["warc_ts"], batch["lang"], batch["format"],
+                batch["extracted_text"], batch["status"], batch["n_bytes"],
+            ):
+                _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
+                                  int(n_bytes), work_mode, case_signature)
+            yield pd.DataFrame(cols, columns=_FIELD_NAMES)
+
+    return metadata_batch
+
+
+# Fine-grained task multiple: 8 tasks per core keeps the scheduler's
+# finish-time balancing effective against per-document cost variance (the
+# Spark analog of the reference's work-stealing pool,
+# training_ocr.cpp:305-311) without meaningful scheduling overhead.
+TASKS_PER_CORE = 8
 
 
 def extract_documents(
@@ -135,42 +166,84 @@ def extract_documents(
     work_mode: str = "KP",
     case_signature: str = "",
     partitions: int | None = None,
-    skew_threshold: int = SKEW_BYTES_THRESHOLD,
+    paged_threshold: int | None = None,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
-    Skew defusal is explicit and size-aware: payloads are split at
-    ``skew_threshold`` bytes; each side is hash-repartitioned on ``url``
-    (unique key ⇒ uniform row counts), so a handful of megabyte PDFs
-    can't serialise one task while 31 idle.  Returns EXTRACT_SCHEMA.
+    **Map-only by default** (``shuffle=False``): the extraction UDF runs
+    directly on the scan partitions, so the megabyte payload column never
+    crosses a shuffle — measured on this box, feeding Arrow batches out of
+    shuffle files anti-scales (32 threads 2.5× slower than 8), while
+    scan-fed batches scale cleanly.  Balance then comes from input splits:
+    size-based (``spark.sql.files.maxPartitionBytes``), which is exactly
+    the right granularity for byte-skewed documents.  Writers of the input
+    table control split width; the corpus generator and lineage chunks
+    both emit fine-grained files.
+
+    ``shuffle=True``: for pathologically-laid-out inputs (one giant file,
+    no row-group splits) fall back to an explicit url-hash fan-out into
+    ``cores × TASKS_PER_CORE`` tasks (the work-stealing analog,
+    training_ocr.cpp:305-311).
+
+    ``paged_threshold``: optionally route payloads above this many bytes
+    through page-level parallelism (pipeline/paged.py) — the answer for
+    documents so large that even one-doc-per-task is too coarse.
+    Returns EXTRACT_SCHEMA.
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
     fn = make_extract_batch(language, work_mode, case_signature)
+    cols = df.select("url", "warc_ts", "html", "lang")
 
-    sized = df.select("url", "warc_ts", "html", "lang", F.length("html").alias("__nb"))
-    small = sized.filter(F.col("__nb") < skew_threshold).drop("__nb")
-    big = sized.filter(F.col("__nb") >= skew_threshold).drop("__nb")
+    def run(frame: DataFrame) -> DataFrame:
+        if shuffle:
+            frame = frame.repartition(n_parts * TASKS_PER_CORE, "url")
+        return frame.mapInPandas(fn, EXTRACT_SCHEMA)
 
-    extracted = small.repartition(n_parts, "url").mapInPandas(fn, EXTRACT_SCHEMA).unionByName(
-        big.repartition(n_parts, "url").mapInPandas(fn, EXTRACT_SCHEMA)
-    )
-    return extracted
+    if paged_threshold is not None:
+        from archvisier_spark.pipeline.paged import extract_documents_paged
+
+        huge = cols.filter(F.length("html") >= paged_threshold)
+        rest = cols.filter(F.length("html") < paged_threshold)
+        return run(rest).unionByName(
+            extract_documents_paged(
+                huge, language=language, work_mode=work_mode,
+                case_signature=case_signature, partitions=n_parts,
+            )
+        )
+
+    return run(cols)
 
 
-def with_new_names(extracted: DataFrame, work_mode: str = "KP") -> DataFrame:
+def with_new_names(
+    extracted: DataFrame,
+    work_mode: str = "KP",
+    keys_df: DataFrame | None = None,
+) -> DataFrame:
     """Append ``lp`` (counter semantics, A2) and ``new_name`` (X14).
 
     ``lp`` = dense 1-based sequence in ``url`` order per work-mode — equal
     to the reference's sequential ``counters[mode]`` bumps over
     ``sorted(glob)`` (gui/processing_worker.py:320-322,373).  Naming runs
     in an Arrow-batched pandas UDF over the kernel's pure ``filename_for``.
+
+    Pass ``keys_df`` = the raw input table (or any cheap 1:1 url source):
+    extraction is 1-row-in→1-row-out, so input urls number the output —
+    and the counting pre-pass then reads ONE pruned parquet column instead
+    of re-running the extraction UDF.
     """
+    keys = (
+        keys_df.select("url").withColumn("work_mode", F.lit(work_mode))
+        if keys_df is not None
+        else None
+    )
     numbered = with_sequence(
         extracted.withColumn("work_mode", F.lit(work_mode)),
         order_col="url",
         partition_cols=("work_mode",),
         out_col="lp",
+        keys_df=keys,
     )
 
     @F.pandas_udf(T.StringType())

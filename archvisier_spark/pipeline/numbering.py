@@ -31,14 +31,23 @@ def with_sequence(
     partition_cols: Sequence[str] = (),
     out_col: str = "lp",
     num_range_partitions: int | None = None,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Append a dense 1-based sequence in ``order_col`` order, restarting
-    per ``partition_cols`` group, without a single-task global sort."""
+    per ``partition_cols`` group, without a single-task global sort.
+
+    ``keys_df``: optional cheap source of the SAME key set (must be 1:1
+    with ``df`` on ``key_cols``).  When ``df`` is the output of an
+    expensive transform (e.g. the extraction mapInPandas), deriving the
+    counting slice from ``df`` would recompute that transform twice — pass
+    the raw input keys instead (a column-pruned parquet scan of ``url``
+    costs almost nothing)."""
     spark = df.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
     key_cols = [order_col, *partition_cols]
 
-    slim = df.select(*key_cols).repartitionByRange(n, F.col(order_col))
+    source = keys_df if keys_df is not None else df
+    slim = source.select(*key_cols).repartitionByRange(n, F.col(order_col))
     slim = slim.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid", *partition_cols).orderBy(order_col)
     slim = slim.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,159 @@
+"""Page-parallel extraction for mega-documents (the 100 TB skew answer).
+
+Round-robin repartitioning balances heavy DOCUMENTS across tasks, but one
+10 GB PDF is still one task — at cluster scale the unit of parallelism has
+to drop to the PAGE (the reference's own progress/parallelism granularity,
+processing/ocr.py:229-230).  Dataflow::
+
+    big docs → mapInPandas: parse PDF → one row per page (raw page text)
+             → repartition(url, page_idx)               # page-level balance
+             → pandas_udf: per-page language + dictionary repair (the
+               dominant cost, now parallel across pages of one doc)
+             → groupBy(url): array_sort(collect_list(struct(idx, text)))
+               → concat(page + "\\n")                   # reassembly
+             → mapInPandas: metadata cascade + spans
+
+Byte-identity: the reassembled text equals the doc-at-once path exactly —
+pinned by tests/test_paged_extract.py differentials, including error rows
+(empty/malformed PDFs, non-PDF payloads fall back to doc-at-once results
+carried through the page stream as single pre-extracted rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from archvisier_spark.kernel.document import extract_document_text
+from archvisier_spark.kernel.pdf import pdf_page_texts
+from archvisier_spark.kernel.sniffer import FORMAT_PDF, sniff_format
+from archvisier_spark.kernel.textfix import correct_text, detect_lang
+from archvisier_spark.pipeline.extract import EXTRACT_SCHEMA, make_metadata_batch
+
+# page_idx >= 0: a raw PDF page awaiting repair; page_idx == -1: a document
+# already fully extracted in the split stage (errors, HTML, plain text).
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("page_idx", T.IntegerType(), False),
+        T.StructField("page_text", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _split_batches(language: str):
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            cols = {f.name: [] for f in PAGE_SCHEMA.fields}
+
+            def emit(url, warc_ts, lang, fmt, idx, text, status, n_bytes):
+                cols["url"].append(url)
+                cols["warc_ts"].append(warc_ts)
+                cols["lang"].append(lang)
+                cols["format"].append(fmt)
+                cols["page_idx"].append(idx)
+                cols["page_text"].append(text)
+                cols["status"].append(status)
+                cols["n_bytes"].append(n_bytes)
+
+            for url, warc_ts, html, lang in zip(
+                batch["url"], batch["warc_ts"], batch["html"], batch["lang"]
+            ):
+                payload = bytes(html) if html is not None else None
+                n_bytes = len(payload) if payload else 0
+                fmt = sniff_format(payload)
+                if fmt == FORMAT_PDF:
+                    try:
+                        pages = pdf_page_texts(payload)
+                    except Exception:
+                        pages = []
+                    if pages:
+                        for idx, page in enumerate(pages):
+                            emit(url, warc_ts, lang, fmt, idx, page, "", n_bytes)
+                        continue
+                # non-PDF / empty / malformed: doc-at-once result rides along
+                text, status, fmt = extract_document_text(payload, language)
+                emit(url, warc_ts, lang, fmt, -1, text, status, n_bytes)
+            yield pd.DataFrame(cols, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+    return split
+
+
+def extract_documents_paged(
+    df: DataFrame,
+    language: str = "auto",
+    work_mode: str = "KP",
+    case_signature: str = "",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXTRACT_SCHEMA output via page-level parallelism (heavy-doc path)."""
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    pages = (
+        df.select("url", "warc_ts", "html", "lang")
+        .repartition(n_parts * 4)
+        .mapInPandas(_split_batches(language), PAGE_SCHEMA)
+    )
+
+    @F.pandas_udf(T.StringType())
+    def repair_page(texts: pd.Series, idxs: pd.Series) -> pd.Series:
+        out = []
+        for text, idx in zip(texts, idxs):
+            if idx < 0:
+                out.append(text)  # pre-extracted passthrough
+                continue
+            if language == "auto":
+                lang = "pol" if detect_lang(text) == "pl" else "eng"
+            else:
+                lang = language
+            out.append(correct_text(text, lang))
+        return pd.Series(out)
+
+    repaired = pages.repartition(n_parts * 4, "url", "page_idx").withColumn(
+        "page_text", repair_page("page_text", "page_idx")
+    )
+
+    # Reassemble per url: pages sorted by index, each suffixed "\n"
+    # (processing/ocr.py:228 contract); page_idx=-1 rows pass through.
+    assembled = (
+        repaired.groupBy("url", "warc_ts", "lang", "format", "n_bytes")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("page_idx", "page_text", "status"))
+            ).alias("parts")
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            "format",
+            "n_bytes",
+            F.when(
+                F.element_at("parts", 1)["page_idx"] < 0,
+                F.element_at("parts", 1)["page_text"],
+            )
+            .otherwise(
+                F.concat_ws(
+                    "", F.transform("parts", lambda p: F.concat(p["page_text"], F.lit("\n")))
+                )
+            )
+            .alias("extracted_text"),
+            F.when(
+                F.element_at("parts", 1)["page_idx"] < 0,
+                F.element_at("parts", 1)["status"],
+            )
+            .otherwise(F.lit("Sukces"))
+            .alias("status"),
+        )
+    )
+
+    fn = make_metadata_batch(work_mode, case_signature)
+    return assembled.repartition(n_parts, "url").mapInPandas(fn, EXTRACT_SCHEMA)

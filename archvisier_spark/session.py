@@ -12,9 +12,21 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Documents can be megabytes; 64 rows/batch keeps Arrow buffers ~100 MB max
-# even on skewed partitions (SURVEY.md §4 "maxRecordsPerBatch tuned 64-256").
-ARROW_BATCH_ROWS = 128
+# Arrow transfer batch: 512 rows ≈ 1-4 MB for median web docs; a batch
+# containing one megabyte-scale PDF stays bounded because such rows are
+# ~1-per-hundred (SURVEY.md §4 "maxRecordsPerBatch tuned").
+ARROW_BATCH_ROWS = 512
+
+# Input split size: the map-only extraction stage inherits its task
+# granularity from scan splits, so splits must be small enough that every
+# core gets MULTIPLE WAVES of tasks (finish-time balancing against
+# per-document cost variance).  2 MB ≈ ~1000 docs per task at this payload
+# profile → ~4 waves on 32 cores for the bench corpus; the default 128 MB
+# would give local[32] exactly one wave and let the slowest clump of heavy
+# PDFs set the stage makespan.  (On a 1000-executor cluster the same rule
+# holds relative to table size — pick splits ≈ table_bytes / (cores × 4).)
+MAX_PARTITION_BYTES = "2m"
+FILES_OPEN_COST = "512k"
 
 
 def get_spark(
@@ -35,6 +47,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
+        .config("spark.sql.files.openCostInBytes", FILES_OPEN_COST)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -1,0 +1,32 @@
+"""End-to-end test of the spark-submit entrypoint (resumable job CLI)."""
+
+import json
+import subprocess
+import sys
+
+
+def test_job_cli_synthesize_resume_finalize(tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = [
+        sys.executable, "archvisier_spark/job.py",
+        "--synthesize", "80",
+        "--output", out,
+        "--checkpoint", ckpt,
+        "--n-chunks", "6",
+        "--master", "local[4]",
+    ]
+    # first invocation dies after 2 chunks (simulated bounded run)
+    r1 = subprocess.run(base + ["--max-chunks-per-run", "2"],
+                        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rep1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep1["chunks_complete"] == 2
+
+    # second invocation finishes the rest and finalizes
+    r2 = subprocess.run(base + ["--finalize"], capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep2["chunks_complete"] == 6
+    assert rep2["lineage_docs"] == 80
+    assert rep2["finalized_rows"] == 80

@@ -1,0 +1,109 @@
+"""Checkpoint/resume semantics: interrupted runs converge to the exact
+single-shot output; retries are idempotent; lineage audits the bytes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from archvisier_spark.corpus import corpus_df
+from archvisier_spark.pipeline.extract import extract_documents
+from archvisier_spark.pipeline.lineage import (
+    chunk_id_col,
+    completed_chunks,
+    finalize_names,
+    lineage_report,
+    run_resumable,
+)
+
+N_DOCS = 50
+N_CHUNKS = 8
+
+
+@pytest.fixture()
+def docs(spark):
+    return corpus_df(spark, N_DOCS, seed=9, partitions=4)
+
+
+def _single_shot(spark, docs):
+    return {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in extract_documents(docs).collect()
+    }
+
+
+def test_interrupted_runs_converge(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate a job dying after 3 chunks, twice, then finishing
+    runs = []
+    while True:
+        processed = run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS, max_chunks_per_run=3)
+        if not processed:
+            break
+        runs.append(processed)
+    assert len(runs) == 3  # 3+3+2 chunks
+    assert sorted(c for r in runs for c in r) == list(range(N_CHUNKS))
+
+    got = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == _single_shot(spark, docs)
+
+
+def test_rerun_is_noop_and_idempotent(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS)
+    assert sorted(first) == list(range(N_CHUNKS))
+    again = run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS)
+    assert again == []
+    assert spark.read.parquet(out).count() == N_DOCS
+
+
+def test_lineage_accounts_for_every_doc(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS)
+    report = lineage_report(spark, ckpt)
+    rows = report.collect()
+    assert {r["chunk_id"] for r in rows} == set(range(N_CHUNKS)) & {
+        r["chunk_id"] for r in rows
+    }
+    assert sum(r["n_docs"] for r in rows) == N_DOCS
+    assert all(r["status"] == "ok" for r in rows)
+    assert all(r["n_errors"] == 0 for r in rows)
+
+
+def test_checksums_match_single_shot(spark, docs, tmp_path):
+    """Resumed-run lineage checksums equal checksums computed over a
+    single-shot extraction — byte-level audit of resume correctness."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    while run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS, max_chunks_per_run=2):
+        pass
+    resumed = {
+        r["chunk_id"]: r["checksum"] for r in lineage_report(spark, ckpt).collect()
+    }
+    single = {
+        r["chunk_id"]: r["checksum"]
+        for r in extract_documents(docs)
+        .withColumn("chunk_id", chunk_id_col(F.col("url"), N_CHUNKS))
+        .groupBy("chunk_id")
+        .agg(F.expr("bit_xor(xxhash64(url, extracted_text))").alias("checksum"))
+        .collect()
+    }
+    assert resumed == single
+
+
+def test_finalize_names_dense_sequence(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS)
+    named = finalize_names(spark, out).collect()
+    by_url = sorted(named, key=lambda r: r["url"])
+    assert [r["lp"] for r in by_url] == list(range(1, N_DOCS + 1))
+
+
+def test_completed_chunks_empty_checkpoint(spark, tmp_path):
+    assert completed_chunks(spark, str(tmp_path / "missing")) == set()
