@@ -10,10 +10,10 @@ so summation-order LSB noise can't flip the hash.
 """
 
 from archvisier_spark.ops import (
-    tpch, textops, dedup, simsearch, events, cascade_ops, multimodal,
+    tpch, textops, dedup, simsearch, events, cascade_ops, multimodal, context_ops,
 )
 
-_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, multimodal)
+_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, multimodal, context_ops)
 
 
 def all_queries():

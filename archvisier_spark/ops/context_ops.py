@@ -1,0 +1,107 @@
+"""Context-memory joins at scale (J2/J3) + the extraction roundtrip gauge.
+
+J2 (similar-document recall) and J3 (correction argmax) are the
+reference's in-memory loops re-expressed as DataFrame joins; the kernel in
+``archvisier_spark.kernel.context`` is their single-node oracle (pinned by
+tests/test_ops_context.py differentials).  Driver checks are rows-only —
+the embedding stub and fuzzy kernel are deliberately Python-exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window, functions as F, types as T
+
+from archvisier_spark.kernel.context import encode_text_stub
+from archvisier_spark.kernel.similarity import fuzzy_similarity
+from archvisier_spark.ops.simsearch import cosine_col
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def encode_stub_udf(texts: pd.Series) -> pd.Series:
+    """K5 batch encode (deterministic stub; swap body for a real
+    SentenceTransformer on a GPU cluster — same signature/batching)."""
+    return pd.Series([encode_text_stub(t or "") for t in texts])
+
+
+@F.pandas_udf(T.DoubleType())
+def fuzzy_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([fuzzy_similarity(x or "", y or "") for x, y in zip(a, b)])
+
+
+def q_context_similar_docs(spark, sf_dir):
+    """J2 at scale: new docs (queries) vs memory docs, stub-encoded, cosine
+    ranked, top-3 above 0.2 (context_analyzer.py:230-262).  Memory side is
+    broadcast — it is capped at 100 rows by A5 retention, the textbook
+    broadcast-join dimension."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    memory = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("mem_id"),
+        encode_stub_udf(F.substring("text", 1, 2000)).alias("mem_vec"),
+    )
+    queries = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        F.col("doc_id").alias("query_id"),
+        encode_stub_udf(F.substring("text", 1, 2000)).alias("q_vec"),
+    )
+    scored = queries.crossJoin(F.broadcast(memory)).select(
+        "query_id", "mem_id", cosine_col("q_vec", "mem_vec").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("mem_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("cos") > 0.2))
+        .select("query_id", "mem_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def q_context_corrections(spark, sf_dir):
+    """J3 at scale: per query doc, fuzzy-argmax correction fragment,
+    accepted at ≥ 0.7 (context_analyzer.py:267-293) via ``max_by`` over a
+    broadcast corrections table (capped at 200 by A5).  Fragments are
+    capped at 200 chars here — the quadratic edit-distance kernel makes
+    fragment length the cost knob (the reference caps prompt-side
+    fragments at 200 too, context_analyzer.py:305)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corrections = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("corr_id"),
+        F.substring("text", 1, 200).alias("fragment"),
+    )
+    queries = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 215)).select(
+        F.col("doc_id").alias("query_id"), F.substring("text", 1, 200).alias("qtext")
+    )
+    scored = queries.crossJoin(F.broadcast(corrections)).select(
+        "query_id",
+        "corr_id",
+        fuzzy_udf("fragment", "qtext").alias("sim"),
+    )
+    best = scored.groupBy("query_id").agg(
+        F.expr("max_by(corr_id, struct(sim, -corr_id))").alias("best_corr"),
+        F.round(F.max("sim"), 6).alias("best_sim"),
+    )
+    return best.filter(F.col("best_sim") >= 0.7)
+
+
+def q_extraction_roundtrip(spark, sf_dir):
+    """The flagship gauge as a driver-visible query: run the full binary
+    pipeline on a deterministic in-query corpus and report byte-identity
+    counts per format (rows-only; per-url assertions live in
+    tests/test_pipeline_differential.py)."""
+    from archvisier_spark.corpus import corpus_df
+    from archvisier_spark.pipeline.extract import extract_documents
+
+    docs = corpus_df(spark, 200, seed=1234, skew_every=10, skew_factor=20)
+    extracted = extract_documents(docs)
+    joined = extracted.join(docs.select("url", F.col("text").alias("expected")), "url")
+    return joined.groupBy("format").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("extracted_text") == F.col("expected")).cast("long")).alias("n_byte_identical"),
+        F.sum((F.col("status") == "Sukces").cast("long")).alias("n_ok"),
+    )
+
+
+QUERIES = {
+    "context_similar_docs": q_context_similar_docs,
+    "context_corrections": q_context_corrections,
+    "extraction_roundtrip": q_extraction_roundtrip,
+}
+ORACLES: dict[str, str] = {}

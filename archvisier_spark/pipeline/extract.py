@@ -216,6 +216,28 @@ def extract_documents(
     return run(cols)
 
 
+def observed_extraction(df: DataFrame, **kwargs):
+    """Extraction with job-level progress metrics attached (A6).
+
+    The reference streams ``("page_done", 1)`` events to a progress queue
+    (processing/ocr.py:229-230, SURVEY.md §2.6 A6); the Spark-native form
+    is an ``Observation`` on the output: docs/bytes/error counts arrive
+    with task completion, at zero plan cost.  Returns
+    ``(DataFrame, Observation)`` — read ``observation.get`` after an
+    action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    extracted = extract_documents(df, **kwargs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("status") != "Sukces").cast("long")).alias("n_errors"),
+    )
+    return extracted, obs
+
+
 def with_new_names(
     extracted: DataFrame,
     work_mode: str = "KP",
