@@ -75,3 +75,11 @@ def filename_for(info: Mapping[str, str], num: int) -> str:
     if name == str(num):
         return f"dokument_do_weryfikacji_{num}.pdf"
     return f"{name}.pdf"
+
+
+def live_rename(lp: str, data: str, typ: str, nadawca: str) -> str:
+    """X15 interactive rename (gui/pdf_processor_app.py:849-850):
+    ``{lp}_{data}_{typ}_{nadawca}`` with leading/trailing underscores
+    stripped, ``.pdf`` suffixed, then disallowed chars → ``_``."""
+    name = f"{lp}_{data}_{typ}_{nadawca}".strip("_") + ".pdf"
+    return _DISALLOWED.sub("_", name)

@@ -159,6 +159,24 @@ def pdf_page_texts(payload: bytes) -> list[str]:
     return pages
 
 
+_COUNT_RE = re.compile(rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)")
+_PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page\b")
+
+
+def pdf_page_count(payload: bytes) -> int:
+    """Page-count probe (S3 — the ``pdfinfo`` "Pages" analog,
+    processing/ocr.py:264-288): prefer the Pages-tree ``/Count``, fall
+    back to counting page objects; 0 for unparseable payloads (the
+    reference returns 0 on any probe error)."""
+    try:
+        m = _COUNT_RE.search(payload)
+        if m:
+            return int(m.group(1))
+        return sum(1 for _ in _PAGE_OBJ_RE.finditer(payload))
+    except Exception:
+        return 0
+
+
 def ocr_page_image(image_bytes: bytes, lang: str = "pol") -> str:
     """OCR hook for rasterised/image-only pages.
 

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import Window, functions as F, types as T
 
 from archvisier_spark.kernel.context import encode_text_stub
-from archvisier_spark.kernel.similarity import fuzzy_similarity
+from archvisier_spark.kernel.similarity import fuzzy_similarity_fast
 from archvisier_spark.ops.simsearch import cosine_col
 
 
@@ -26,7 +26,7 @@ def encode_stub_udf(texts: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def fuzzy_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([fuzzy_similarity(x or "", y or "") for x, y in zip(a, b)])
+    return pd.Series([fuzzy_similarity_fast(x or "", y or "") for x, y in zip(a, b)])
 
 
 def q_context_similar_docs(spark, sf_dir):

@@ -274,3 +274,47 @@ def test_label_spans_all_occurrences_plus_type():
     assert (9, 15, "NR_DOKUMENTU") in spans
     assert (41, 47, "NR_DOKUMENTU") in spans
     assert any(label == "TYP_DOKUMENTU" for _, _, label in spans)
+
+
+# --- X15 live rename (gui/pdf_processor_app.py:849-850) ---
+
+def test_live_rename_strip_and_scrub():
+    from archvisier_spark.kernel.naming import live_rename
+
+    assert live_rename("1", "2024-01-02", "UMOWA", "ACME") == "1_2024-01-02_UMOWA_ACME.pdf"
+    # empty tail fields: strip("_") removes the dangling underscores
+    assert live_rename("1", "", "", "") == "1.pdf"
+    # disallowed chars scrubbed AFTER assembly (slash, colon, question mark)
+    assert live_rename("2", "a/b", "c:d", "e?f") == "2_a_b_c_d_e_f.pdf"
+
+
+# --- S3 page-count probe (processing/ocr.py:264-288 analog) ---
+
+def test_pdf_page_count():
+    from archvisier_spark.kernel.pdf import build_pdf, pdf_page_count
+
+    assert pdf_page_count(build_pdf([["a"], ["b"], ["c"]])) == 3
+    assert pdf_page_count(build_pdf([])) == 0
+    assert pdf_page_count(b"not a pdf at all") == 0
+
+
+# --- NumPy distance variant must be value-equal to the canonical DP ---
+
+def test_levenshtein_numpy_equals_pure():
+    import random
+    from archvisier_spark.kernel.similarity import levenshtein_numpy
+
+    rng = random.Random(2)
+    alphabet = "abcdef żó "
+    for _ in range(400):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        assert levenshtein_numpy(a, b) == levenshtein(a, b), (a, b)
+
+
+def test_fuzzy_fast_equals_canonical():
+    from archvisier_spark.kernel.similarity import fuzzy_similarity_fast
+
+    assert fuzzy_similarity_fast("abcd", "abce") == fuzzy_similarity("abcd", "abce")
+    assert fuzzy_similarity_fast("", "x") == 0.0
+    assert fuzzy_similarity_fast("x", "x") == 1.0
