@@ -165,8 +165,70 @@ FROM documents GROUP BY 1
 """
 
 
+# --- X2 scale path: date-extraction cascade as native regexp_extract ---
+
+def q_date_cascade_native(spark, sf_dir):
+    """The X2 first-match-wins date cascade in its JVM-native form
+    (smart_extractor.py:84-90 patterns 1-2 + normalisation), over text
+    synthesised from order dates — the subset of the cascade where Java
+    regex ≡ RE2 ≡ Python re (plain ASCII classes), per SURVEY §7: native
+    where differential tests prove equality, pandas UDF elsewhere."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 800)
+    text = F.concat(
+        F.lit("Zamówienie nr "), F.col("o_orderkey").cast("string"),
+        F.lit(" z dnia "), F.date_format("o_orderdate", "d.M.yyyy"),
+        F.lit(" roku"),
+    )
+    iso = F.regexp_extract(text, r"(\d{4})[/\.\-](\d{1,2})[/\.\-](\d{1,2})", 0)
+    dmy_d = F.regexp_extract(text, r"(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})", 1)
+    dmy_m = F.regexp_extract(text, r"(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})", 2)
+    dmy_y = F.regexp_extract(text, r"(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})", 3)
+    normalised = F.when(iso != "", iso).otherwise(
+        F.when(
+            dmy_y != "",
+            F.concat_ws("-", dmy_y, F.lpad(dmy_m, 2, "0"), F.lpad(dmy_d, 2, "0")),
+        ).otherwise(F.lit(""))
+    )
+    return orders.select(
+        "o_orderkey",
+        normalised.alias("extracted_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("true_date"),
+    ).withColumn("matches", (F.col("extracted_date") == F.col("true_date")).cast("int"))
+
+
+_DATE_CASCADE_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         'Zamówienie nr ' || o_orderkey || ' z dnia ' ||
+         CAST(extract(day FROM o_orderdate) AS VARCHAR) || '.' ||
+         CAST(extract(month FROM o_orderdate) AS VARCHAR) || '.' ||
+         CAST(extract(year FROM o_orderdate) AS VARCHAR) || ' roku' AS text,
+         strftime(o_orderdate, '%Y-%m-%d') AS true_date
+  FROM orders WHERE o_orderkey < 800
+)
+SELECT o_orderkey,
+       CASE WHEN regexp_extract(text, '(\\d{4})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{1,2})', 0) <> ''
+            THEN regexp_extract(text, '(\\d{4})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{1,2})', 0)
+            WHEN regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 3) <> ''
+            THEN regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 3)
+                 || '-' || lpad(regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 2), 2, '0')
+                 || '-' || lpad(regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 1), 2, '0')
+            ELSE '' END AS extracted_date,
+       true_date,
+       CAST(CASE WHEN (CASE WHEN regexp_extract(text, '(\\d{4})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{1,2})', 0) <> ''
+            THEN regexp_extract(text, '(\\d{4})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{1,2})', 0)
+            WHEN regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 3) <> ''
+            THEN regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 3)
+                 || '-' || lpad(regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 2), 2, '0')
+                 || '-' || lpad(regexp_extract(text, '(\\d{1,2})[/\\.\\-](\\d{1,2})[/\\.\\-](\\d{4})', 1), 2, '0')
+            ELSE '' END) = true_date THEN 1 ELSE 0 END AS INT) AS matches
+FROM t
+"""
+
+
 QUERIES = {
     "text_lang_heuristic": q_lang_heuristic,
+    "x2_date_cascade_native": q_date_cascade_native,
     "text_header_tokens": q_header_tokens,
     "text_quality_scores": q_quality_scores,
     "text_needs_value": q_needs_value,
@@ -176,6 +238,7 @@ QUERIES = {
 
 ORACLES = {
     "text_lang_heuristic": _LANG_SQL,
+    "x2_date_cascade_native": _DATE_CASCADE_SQL,
     "text_header_tokens": _HEADER_TOKENS_SQL,
     "text_quality_scores": _QUALITY_SQL,
     "text_needs_value": _NEEDS_VALUE_SQL,
