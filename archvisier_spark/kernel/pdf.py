@@ -94,6 +94,8 @@ _OCTAL = re.compile(rb"\\([0-7]{1,3})")
 
 
 def _decode_pdf_string(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # fast path: nothing to unescape
+        return raw
     out = bytearray()
     i = 0
     while i < len(raw):

@@ -154,8 +154,11 @@ def find_document_type(text: str) -> str:
     for keyword, pattern, doc_type in _TYPE_PATTERNS:
         if keyword in header and pattern.search(header):
             return doc_type
-    for _keyword, pattern, doc_type in _TYPE_PATTERNS:
-        if pattern.search(text_lower):
+    for keyword, pattern, doc_type in _TYPE_PATTERNS:
+        # substring gate (C-speed) before the regex scan: a \b-bounded hit
+        # requires the literal substring, so this prunes without changing
+        # the match outcome (the reference gates only the header pass)
+        if keyword in text_lower and pattern.search(text_lower):
             return doc_type
     return ""
 
@@ -225,7 +228,7 @@ def extract_sender_recipient(text: str) -> str:
     return ""
 
 
-def extract_subject(text: str) -> str:
+def extract_subject(text: str, doc_type: str | None = None) -> str:
     """Subject extraction (X6, smart_extractor.py:207-223).
 
     Returns the *whole* match (group 0) with five literal lowercase
@@ -234,6 +237,10 @@ def extract_subject(text: str) -> str:
     rf-string is a Python expression, so the effective tail of the pattern
     is the literal ``(10, 100)`` (smart_extractor.py:218) — the fallback
     practically never fires; kept for byte-parity.
+
+    ``doc_type``: optional precomputed :func:`find_document_type` result
+    (a pure function of ``text``) so composed callers scan the keyword
+    table once instead of three times.
     """
     for pattern in _SUBJECT_PATTERNS:
         m = pattern.search(text)
@@ -242,7 +249,8 @@ def extract_subject(text: str) -> str:
             for prefix in _SUBJECT_PREFIXES:
                 subject = subject.replace(prefix, "")
             return subject.strip()[:100]
-    doc_type = find_document_type(text)
+    if doc_type is None:
+        doc_type = find_document_type(text)
     if doc_type:
         # NB: literal "(10, 100)" — intentional parity with the reference bug.
         pattern = doc_type.lower() + "[:\\s]+([^\\n\\.](10, 100))"
@@ -263,12 +271,13 @@ def smart_extract_info(text: str) -> dict[str, str]:
     if not text:
         return dict(EMPTY_SMART_INFO)
     try:
+        doc_type = find_document_type(text)
         return {
             "data": extract_date(text),
             "nadawca_odbiorca": extract_sender_recipient(text),
-            "w_sprawie": extract_subject(text),
+            "w_sprawie": extract_subject(text, doc_type),
             "numer_dokumentu": extract_document_number(text),
-            "typ_dokumentu": find_document_type(text),
+            "typ_dokumentu": doc_type,
         }
     except Exception:
         return dict(EMPTY_SMART_INFO)
