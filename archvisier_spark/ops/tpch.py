@@ -259,8 +259,79 @@ WHERE levenshtein(n_name, r_name) <= 8
 """
 
 
+# --- rollup (hierarchical aggregate; beyond the reference's flat aggs) ---
+
+def q_revenue_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total_price", "n",
+        )
+    )
+
+
+_REVENUE_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- relational set ops (§2.8 extension: UNION / EXCEPT) ---
+
+def q_customer_supplier_nations(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    only_customers = cust.distinct().exceptAll(supp.distinct()).withColumn("side", F.lit("customer_only"))
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    return only_customers.unionByName(both).groupBy("side").agg(F.count("*").alias("n_nations"))
+
+
+_SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+     sides AS (
+       SELECT 'customer_only' AS side FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+       UNION ALL
+       SELECT 'both' AS side FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+     )
+SELECT side, count(*) AS n_nations FROM sides GROUP BY side
+"""
+
+
+# --- exact percentiles (distribution stats tier) ---
+
+def q_price_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+_PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "tpch_revenue_rollup": q_revenue_rollup,
+    "tpch_set_ops_nations": q_customer_supplier_nations,
+    "tpch_price_percentiles": q_price_percentiles,
     "tpch_top_revenue_orders": q_top_revenue_orders,
     "tpch_nation_revenue": q_nation_revenue,
     "tpch_orders_with_returns": q_orders_with_returns,
@@ -274,6 +345,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_pricing_summary": _PRICING_SQL,
+    "tpch_revenue_rollup": _REVENUE_ROLLUP_SQL,
+    "tpch_set_ops_nations": _SET_OPS_SQL,
+    "tpch_price_percentiles": _PRICE_PERCENTILES_SQL,
     "tpch_top_revenue_orders": _TOP_REVENUE_SQL,
     "tpch_nation_revenue": _NATION_REVENUE_SQL,
     "tpch_orders_with_returns": _ORDERS_WITH_RETURNS_SQL,
