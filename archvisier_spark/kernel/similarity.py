@@ -9,7 +9,18 @@ the parity path.
 from __future__ import annotations
 
 import math
+import re
 from typing import Sequence
+
+# The C kernel tokenises with strtok(buf, " \t\n\r")
+# (native_c/token_similarity.c:41-54) — ONLY those four delimiters.
+# Python str.split() splits on all Unicode whitespace (\x0b, \x0c, NBSP…),
+# which diverges from the reference on exotic-whitespace inputs.
+_C_DELIMS = re.compile(r"[ \t\n\r]+")
+
+
+def _strtok_tokens(s: str, cap: int = 256) -> list[str]:
+    return [t for t in _C_DELIMS.split(s) if t][:cap]
 
 
 def token_similarity(a: str, b: str) -> float:
@@ -25,8 +36,8 @@ def token_similarity(a: str, b: str) -> float:
     matching the C fixed buffers (token_similarity.c:40-54).  Empty union
     → 0.0.
     """
-    tokens_a = a.split()[:256] if a else []
-    tokens_b = b.split()[:256] if b else []
+    tokens_a = _strtok_tokens(a) if a else []
+    tokens_b = _strtok_tokens(b) if b else []
     set_b = set(tokens_b)
     set_a = set(tokens_a)
     intersection = sum(1 for t in tokens_a if t in set_b)

@@ -71,23 +71,36 @@ def q_cascade_metadata(spark, sf_dir):
     )
 
 
+# FNV-1a 64-bit offset basis, reinterpreted as signed i64 (the seed of the
+# rolling fold below; the byte-wise FNV body is replaced by JVM hashing).
+_FNV_OFFSET_I64 = -3750763034362895579
+
+
+def fingerprint_col(text_col) -> "F.Column":
+    """Order-dependent rolling fingerprint of the token stream — pure
+    built-ins, whole-stage codegen, zero Python.
+
+    Each token is hashed once with ``xxhash64`` (same strategy as
+    minhash_signatures); the stream folds left with rotate-xor
+    (``acc' = rotl5(acc) ^ h``), so permuted token order changes the
+    value — the rolling-hash property the per-byte FNV loop provided,
+    at JVM speed."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit(""))
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        token_hashes,
+        F.lit(_FNV_OFFSET_I64).cast("long"),
+        lambda acc, h: F.shiftleft(acc, 5)
+        .bitwiseOR(F.shiftrightunsigned(acc, 59))
+        .bitwiseXOR(h),
+    )
+
+
 def q_fingerprints(spark, sf_dir):
-    """Deterministic document fingerprint: FNV-1a rolling hash of the
-    token stream (rows-only; engine-independent value, pinned by
-    tests/test_ops_dedup.py)."""
-
-    @F.pandas_udf(T.LongType())
-    def fnv_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            h = 0xCBF29CE484222325
-            for byte in (text or "").encode("utf-8"):
-                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out.append(h - (1 << 64) if h >= (1 << 63) else h)
-        return pd.Series(out, dtype="int64")
-
+    """Deterministic document fingerprint (rows-only; order sensitivity and
+    determinism pinned by tests/test_ops_dedup.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
-    return docs.select("doc_id", fnv_udf("text").alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
 
 
 # --- K1 with full C-multiset semantics — exactly expressible in SQL ---

@@ -51,7 +51,7 @@ def q_exact_dedup(spark, sf_dir):
 
 _EXACT_DEDUP_SQL = """
 SELECT count(*) AS dup_groups,
-       coalesce(sum(n_copies - 1), 0) AS removable_docs
+       coalesce(sum(n_copies - 1), 0)::BIGINT AS removable_docs
 FROM (
   SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper_id
   FROM documents GROUP BY 1 HAVING count(*) > 1
@@ -195,38 +195,51 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return verified.select("id_a", "id_b", "jaccard")
 
 
-# --- SimHash: 64-bit sketch via vectorized Pandas UDF ---
+# --- SimHash: JVM token hashing + NumPy bit-vote (zero per-token Python) ---
 
 @F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (NumPy-vectorized per batch).
-
-    Built-ins can't express the 64-lane bit-vote, so this is the sanctioned
-    Pandas-UDF escape hatch (Arrow-batched, no per-row Python on the JVM
-    side)."""
+def _simhash_vote(hash_arrays: pd.Series) -> pd.Series:
+    """Majority bit-vote over per-token 64-bit hashes — the one SimHash
+    step built-ins can't express.  Fully batch-vectorized: the whole Arrow
+    batch becomes one flattened (n_tokens, 64) bit matrix, segment-summed
+    with ``np.add.reduceat``; no per-token or per-byte Python anywhere.
+    Empty token streams hash to 0."""
     import numpy as np
 
-    out = []
-    for text in texts:
-        toks = text.split() if text else []
-        if not toks:
-            out.append(0)
-            continue
-        # deterministic 64-bit token hashes (FNV-1a), engine-independent
-        hashes = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in t.encode("utf-8"):
-                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hashes[i] = h
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        out.append(int(sig.astype(np.int64)))
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hash_arrays), dtype=np.int64, count=n
+    )
+    mask = lens > 0
+    if mask.any():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a, m in zip(hash_arrays, mask) if m]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        seg_lens = lens[mask]
+        offsets = np.zeros(len(seg_lens), dtype=np.int64)
+        np.cumsum(seg_lens[:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits, offsets, axis=0)
+        maj = (2 * ones) > seg_lens[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sig = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        out[mask] = sig.view(np.int64)
     return pd.Series(out, dtype="int64")
+
+
+def simhash64(text_col) -> "F.Column":
+    """64-bit SimHash column over whitespace tokens.
+
+    Tokens are hashed once JVM-side with ``xxhash64`` (the same strategy
+    as :func:`minhash_signatures` — whole-stage codegen, deterministic
+    across runs since xxhash64 is a spec'd Spark function with fixed seed);
+    only the bit-vote crosses into NumPy."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit(""))
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_vote(token_hashes)
 
 
 def q_simhash_buckets(spark, sf_dir):

@@ -127,7 +127,7 @@ def q_needs_value(spark, sf_dir):
 
 _NEEDS_VALUE_SQL = """
 SELECT lang,
-       sum(CASE WHEN t IS NULL OR length(t) < 3 THEN 1 ELSE 0 END) AS n_needing,
+       sum(CASE WHEN t IS NULL OR length(t) < 3 THEN 1 ELSE 0 END)::BIGINT AS n_needing,
        count(*) AS n_total
 FROM (SELECT lang, string_split_regex(trim(text), '\\s+')[1] AS t FROM documents)
 GROUP BY lang

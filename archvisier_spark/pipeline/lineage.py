@@ -38,6 +38,17 @@ def chunk_id_col(url_col, n_chunks: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_chunks)).cast("int")
 
 
+def _next_run_id(spark: SparkSession, checkpoint_path: str) -> int:
+    """Monotonic run counter derived from the checkpoint itself — the
+    lineage analog of an Iceberg snapshot id, so "latest row per chunk"
+    means recency, not max-docs."""
+    try:
+        prev = spark.read.parquet(checkpoint_path).agg(F.max("run_id")).collect()[0][0]
+    except Exception:
+        return 0
+    return (prev if prev is not None else -1) + 1
+
+
 def completed_chunks(spark: SparkSession, checkpoint_path: str) -> set[int]:
     """Chunk ids with an ``ok`` lineage row (empty checkpoint → none)."""
     try:
@@ -71,6 +82,7 @@ def run_resumable(
     lineage table, half-written chunks are overwritten whole.
     """
     done = completed_chunks(spark, checkpoint_path)
+    run_id = _next_run_id(spark, checkpoint_path)
     todo = sorted(set(range(n_chunks)) - done)
     if max_chunks_per_run is not None:
         todo = todo[:max_chunks_per_run]
@@ -85,9 +97,18 @@ def run_resumable(
     ).withColumn("chunk_id", chunk_id_col(F.col("url"), n_chunks))
 
     # Idempotent chunk replacement (parquet stand-in for Iceberg MERGE):
-    # only the partitions present in `result` are overwritten.
+    # only the partitions present in `result` are overwritten.  The conf is
+    # scoped to this write — session-wide "dynamic" would silently change
+    # the semantics of every later overwrite in the same session.
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    result.write.mode("overwrite").partitionBy("chunk_id").parquet(output_path)
+    try:
+        result.write.mode("overwrite").partitionBy("chunk_id").parquet(output_path)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     # Lineage rows are derived from what was actually WRITTEN, not from the
     # input — the audit trail reflects durable output.
@@ -100,7 +121,7 @@ def run_resumable(
         F.sum((F.col("status") != "Sukces").cast("long")).alias("n_errors"),
         # bit_xor: order-independent, overflow-free under ANSI mode
         F.expr("bit_xor(xxhash64(url, extracted_text))").alias("checksum"),
-    ).withColumn("status", F.lit(STATUS_OK))
+    ).withColumn("status", F.lit(STATUS_OK)).withColumn("run_id", F.lit(run_id))
     lineage.write.mode("append").parquet(checkpoint_path)
     return todo
 
@@ -119,7 +140,8 @@ def lineage_report(spark: SparkSession, checkpoint_path: str) -> DataFrame:
     from pyspark.sql import Window
 
     lin = spark.read.parquet(checkpoint_path)
-    # parquet append keeps history; latest row per chunk wins (audit trail
-    # preserved, exactly like a snapshot-isolated MERGE target)
-    w = Window.partitionBy("chunk_id").orderBy(F.desc("n_docs"))
+    # parquet append keeps history; the MOST RECENT row per chunk wins
+    # (run_id is the snapshot counter) — a reprocess that legitimately
+    # shrinks a chunk's doc count still surfaces as the current state.
+    w = Window.partitionBy("chunk_id").orderBy(F.desc("run_id"), F.desc("n_docs"))
     return lin.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")

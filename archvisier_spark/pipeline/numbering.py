@@ -58,6 +58,10 @@ def with_sequence(
         .agg(F.count("*").alias("__cnt"))
         .collect()
     )
+    if not counts:
+        # empty input: createDataFrame([]) can't infer a schema — return the
+        # (empty) frame with a typed null sequence column instead of crashing
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     by_group: dict[tuple, list[tuple[int, int]]] = {}
     for row in counts:
         group = tuple(row[c] for c in partition_cols)

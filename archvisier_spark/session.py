@@ -36,10 +36,8 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -52,6 +50,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # Master resolution: an explicit argument wins; otherwise inherit
+    # spark.master from spark-submit / existing conf (cluster usage per
+    # job.py --master help text); local[N] is only the last-resort default
+    # when nothing has configured a master at all.
+    if master:
+        builder = builder.master(master)
+    else:
+        try:
+            from pyspark import SparkConf
+
+            has_master = SparkConf().contains("spark.master")
+        except Exception:
+            has_master = False
+        if not has_master:
+            builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

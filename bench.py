@@ -43,6 +43,7 @@ BENCH_OPS = (
     "tpch_top3_orders_per_customer",
     "text_quality_scores",
     "dedup_minhash_lsh",
+    "dedup_simhash_buckets",
     "sim_cosine_topk",
     "events_hourly_counts",
     "cascade_metadata",

@@ -67,8 +67,35 @@ def test_simhash_near_duplicates_close(spark):
 
 
 def test_simhash_deterministic_and_engine_independent(spark):
-    # FNV-1a is defined byte-wise → same value across engines/runs
+    # token hashes come from xxhash64 — a spec'd Spark function with a
+    # fixed seed, so values are stable across runs and Spark versions
     df = spark.createDataFrame(pd.DataFrame({"text": ["alpha beta gamma"]}))
     val = df.select(simhash64("text").alias("h")).collect()[0]["h"]
     val2 = df.select(simhash64("text").alias("h")).collect()[0]["h"]
     assert val == val2 != 0
+
+
+def test_simhash_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "   ", None]})
+    )
+    rows = {r["doc_id"]: r["h"] for r in df.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert rows[1] == 0 and rows[2] == 0
+    assert rows[3] == 0 or rows[3] is None
+
+
+def test_fingerprint_order_sensitive_and_deterministic(spark):
+    from archvisier_spark.ops.cascade_ops import fingerprint_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma", ""],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint_col("text").alias("fp")).collect()}
+    assert rows[1] == rows[3]            # deterministic
+    assert rows[1] != rows[2]            # rolling: order matters
+    assert rows[4] is not None           # empty text → seed value, not null
