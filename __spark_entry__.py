@@ -68,19 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    extracted = (
-        docs.select("doc_id", "text")
-        .repartition(8, "doc_id")
-        .mapInPandas(run_cascade, schema)
-    )
+    # map-only: the cascade runs on scan splits — no payload shuffle
+    # (consistent with extract_documents' design)
+    extracted = docs.select("doc_id", "text").mapInPandas(run_cascade, schema)
     numbered = with_sequence(
         extracted.withColumn("work_mode", F.lit("KP")),
         order_col="doc_id",
         partition_cols=("work_mode",),
         out_col="lp",
     )
-
-    import pandas as pd  # noqa: F811 — needed in udf scope
 
     @F.pandas_udf("string")
     def name_udf(lp, syg, num, nad, typ, wsp):

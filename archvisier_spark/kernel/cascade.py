@@ -3,8 +3,10 @@
 From-scratch reimplementation of the reference's layered extractor
 (`2_Aplikacja_Glowna/gui/processing_worker.py:173-308`, SURVEY.md §2.3 X8):
 
-  step 1  NER entity groups            (modelled: no-entity path — the
-                                        reference tests run a blank model)
+  step 1  NER entity groups            (kernel.ner.RuleNer provides an
+                                        EntityRuler-equivalent provider;
+                                        default = no entities, matching
+                                        the reference's blank-model tests)
   step 2  SmartExtractor fills empties
   step 3  raw regexes fill remaining
   step 4  optional LLM fill            (out of scope: optional dependency,

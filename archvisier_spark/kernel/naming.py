@@ -77,6 +77,52 @@ def filename_for(info: Mapping[str, str], num: int) -> str:
     return f"{name}.pdf"
 
 
+# gui/constants.py:9-13 — per-mode display patterns for the year-scoped
+# document number.  SA (arbitration court) formats differently AND keeps
+# its counters in a separate dict (gui/pdf_processor_app.py:596-601).
+DOC_TYPE_LABELS = {
+    "KP": "Korespondencja Przychodząca (KP)",
+    "KW": "Korespondencja Wychodząca (KW)",
+    "SA": "Sąd Arbitrażowy (SA)",
+}
+TYPE_PATTERNS = {
+    "KP": "KP/{num}/{year}",
+    "KW": "KW/{num}/{year}",
+    "SA": "SA{num}_{year}",
+}
+_DEFAULT_PATTERN = "{mode}/{num}/{year}"
+
+
+def counter_key(work_mode: str, year: int) -> str:
+    """Year-scoped counter key — gui/pdf_processor_app.py:601:
+    ``counters[f"{work_mode}/{year}"]``."""
+    return f"{work_mode}/{year}"
+
+
+def display_number(work_mode: str, num: int, year: int) -> str:
+    """Render the per-mode display number (``KP/{num}/{year}``,
+    ``SA{num}_{year}``) per gui/constants.py TYPE_PATTERNS; unknown modes
+    fall back to the slash form."""
+    pattern = TYPE_PATTERNS.get(work_mode, _DEFAULT_PATTERN)
+    return pattern.format(mode=work_mode, num=num, year=year)
+
+
+def next_display_number(
+    work_mode: str,
+    year: int,
+    counters: MutableMapping[str, int],
+    sa_counters: MutableMapping[str, int],
+) -> str:
+    """Sequential reference semantics: bump the year-scoped counter in the
+    mode-appropriate dict (SA separate) and render its display pattern —
+    the loop the Spark window form is differential-tested against."""
+    bucket = sa_counters if work_mode == "SA" else counters
+    key = counter_key(work_mode, year)
+    num = bucket.get(key, 0) + 1
+    bucket[key] = num
+    return display_number(work_mode, num, year)
+
+
 def live_rename(lp: str, data: str, typ: str, nadawca: str) -> str:
     """X15 interactive rename (gui/pdf_processor_app.py:849-850):
     ``{lp}_{data}_{typ}_{nadawca}`` with leading/trailing underscores

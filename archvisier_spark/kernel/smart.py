@@ -260,24 +260,35 @@ def extract_subject(text: str, doc_type: str | None = None) -> str:
     return ""
 
 
-def smart_extract_info(text: str) -> dict[str, str]:
+def smart_extract_info(text: str, entity_provider=None) -> dict[str, str]:
     """Composed rule-tier extraction (X7, smart_extractor.py:225-295).
 
     Empty input → all-empty record; any internal exception → all-empty
-    record (errors are data, never failures).  The reference's optional
-    spaCy-NER backfill is modelled as the no-entity path (its test suite
-    runs with a blank model), so the rule outputs pass through unchanged.
+    record (errors are data, never failures).
+
+    ``entity_provider``: optional ``text -> {LABEL: [surface, ...]}``
+    callable (e.g. :class:`archvisier_spark.kernel.ner.RuleNer`).  When
+    given, still-empty fields are backfilled from the entity groups —
+    the reference's ``if self.nlp`` branch (smart_extractor.py:261-276):
+    rules win when non-empty, entities fill the gaps, surfaces join with
+    a single space after newline flattening.  The provider runs inside
+    the same try, so its exceptions also collapse to the all-empty record.
     """
     if not text:
         return dict(EMPTY_SMART_INFO)
     try:
         doc_type = find_document_type(text)
-        return {
+        info = {
             "data": extract_date(text),
             "nadawca_odbiorca": extract_sender_recipient(text),
             "w_sprawie": extract_subject(text, doc_type),
             "numer_dokumentu": extract_document_number(text),
             "typ_dokumentu": doc_type,
         }
+        if entity_provider is not None:
+            from archvisier_spark.kernel.ner import backfill_from_entities
+
+            backfill_from_entities(info, entity_provider(text))
+        return info
     except Exception:
         return dict(EMPTY_SMART_INFO)

@@ -30,11 +30,27 @@ INFO_SCHEMA = T.StructType(
 )
 
 
+# Deterministic entity rules over the synthetic corpus vocabulary — the
+# step-1 NER tier (processing_worker.py:186-202) exercised with a REAL
+# (non-empty) provider at scale; label grouping and document-order joins
+# are live in every cascade_metadata row that contains these phrases.
+DOC_ENTITY_RULES = (
+    ("DATA", "data"),
+    ("ORGANIZACJA", "customer"),
+    ("TYTUL_PISMA", "spark window"),
+    ("TYP_DOKUMENTU", "merge"),
+)
+
+
 @F.pandas_udf(INFO_SCHEMA)
 def cascade_udf(texts: pd.Series) -> pd.DataFrame:
+    from archvisier_spark.kernel.ner import RuleNer
+
+    provider = RuleNer(DOC_ENTITY_RULES)
     rows = []
     for text in texts:
-        info = extract_info_from_text(text or "", "", "KP", "")
+        info = extract_info_from_text(text or "", "", "KP", "",
+                                      entity_provider=provider)
         rows.append(
             {
                 "data": info["data"],
@@ -63,10 +79,12 @@ def q_cascade_metadata(spark, sf_dir):
     """Full metadata cascade over documents.text (rows-only: Python-re
     semantics are the point; byte-identity is pinned by the differential
     suite)."""
+    # no repartition: the cascade runs straight on scan splits (map-only) —
+    # shuffling a payload column before a per-row UDF is the anti-pattern
+    # the extraction pipeline's BENCH analysis flagged
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
     return (
-        docs.repartition(8, "doc_id")
-        .select("doc_id", cascade_udf("text").alias("info"))
+        docs.select("doc_id", cascade_udf("text").alias("info"))
         .select("doc_id", "info.*")
     )
 

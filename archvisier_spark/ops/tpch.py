@@ -200,6 +200,48 @@ GROUP BY o_orderpriority
 """
 
 
+def q_counter_display(spark, sf_dir):
+    """A2 year-scoped counter parity at scale: the reference keys session
+    counters ``"{mode}/{year}"`` (gui/pdf_processor_app.py:596-616) and
+    renders TYPE_PATTERNS display strings (gui/constants.py:9-13).  The
+    Spark form runs the two-phase dense-rank numbering
+    (pipeline.numbering.with_sequence — no single-task global sort)
+    partitioned by (mode, year); this oracle proves it row-for-row equal
+    to a plain windowed row_number."""
+    from archvisier_spark.pipeline.numbering import with_sequence
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    base = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("yr")
+    ).withColumn("work_mode", F.lit("KP"))
+    numbered = with_sequence(
+        base, order_col="o_orderkey", partition_cols=("work_mode", "yr"),
+        out_col="lp_year",
+    )
+    return numbered.select(
+        "o_orderkey",
+        "yr",
+        "lp_year",
+        F.concat(
+            F.lit("KP/"), F.col("lp_year").cast("string"),
+            F.lit("/"), F.col("yr").cast("string"),
+        ).alias("display_number"),
+    )
+
+
+_COUNTER_DISPLAY_SQL = """
+SELECT o_orderkey, yr, lp_year,
+       'KP/' || CAST(lp_year AS VARCHAR) || '/' || CAST(yr AS VARCHAR) AS display_number
+FROM (
+  SELECT o_orderkey,
+         extract(year FROM o_orderdate) AS yr,
+         row_number() OVER (PARTITION BY extract(year FROM o_orderdate)
+                            ORDER BY o_orderkey) AS lp_year
+  FROM orders WHERE o_orderkey < 2000
+)
+"""
+
+
 # --- argmax/argmin (T3/T4: max_by / min_by) ---
 
 def q_cheapest_part_per_order(spark, sf_dir):
@@ -343,6 +385,7 @@ QUERIES = {
     "tpch_customers_without_orders": q_customers_without_orders,
     "tpch_top3_orders_per_customer": q_top3_orders_per_customer,
     "tpch_counter_rownum": q_counter_rownum,
+    "a2_counter_display": q_counter_display,
     "tpch_cheapest_part_per_order": q_cheapest_part_per_order,
     "tpch_latest_orders": q_latest_orders,
     "tpch_nation_name_distances": q_nation_name_distances,
@@ -359,6 +402,7 @@ ORACLES = {
     "tpch_customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,
     "tpch_top3_orders_per_customer": _TOP3_ORDERS_SQL,
     "tpch_counter_rownum": _COUNTER_ROWNUM_SQL,
+    "a2_counter_display": _COUNTER_DISPLAY_SQL,
     "tpch_cheapest_part_per_order": _CHEAPEST_PART_SQL,
     "tpch_latest_orders": _LATEST_ORDERS_SQL,
     "tpch_nation_name_distances": _NATION_DISTANCES_SQL,

@@ -89,9 +89,11 @@ def info_spans(text: str, info: dict) -> list[dict]:
 
 
 def _metadata_columns(cols: dict, url, warc_ts, lang, fmt, text, status, n_bytes,
-                      work_mode: str, case_signature: str) -> None:
+                      work_mode: str, case_signature: str,
+                      entity_provider=None) -> None:
     """Append one output row (cascade + spans) to the column accumulators."""
-    info = extract_info_from_text(text, url, work_mode, case_signature)
+    info = extract_info_from_text(text, url, work_mode, case_signature,
+                                  entity_provider=entity_provider)
     cols["url"].append(url)
     cols["warc_ts"].append(warc_ts)
     cols["lang"].append(lang)
@@ -114,8 +116,20 @@ def _metadata_columns(cols: dict, url, warc_ts, lang, fmt, text, status, n_bytes
 _FIELD_NAMES = [f.name for f in EXTRACT_SCHEMA.fields]
 
 
-def make_extract_batch(language: str, work_mode: str, case_signature: str):
+def _build_provider(entity_rules):
+    """Entity rules travel as plain (label, phrase) tuples — picklable —
+    and compile into a RuleNer once per closure, not per row."""
+    if not entity_rules:
+        return None
+    from archvisier_spark.kernel.ner import RuleNer
+
+    return RuleNer(entity_rules)
+
+
+def make_extract_batch(language: str, work_mode: str, case_signature: str,
+                       entity_rules=None):
     """Build the mapInPandas function (closure keeps config serialisable)."""
+    provider = _build_provider(entity_rules)
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -129,15 +143,17 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str):
                 text, status, fmt = extract_document_text(payload, language)
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   len(payload) if payload else 0,
-                                  work_mode, case_signature)
+                                  work_mode, case_signature,
+                                  entity_provider=provider)
             yield pd.DataFrame(cols, columns=_FIELD_NAMES)
 
     return extract_batch
 
 
-def make_metadata_batch(work_mode: str, case_signature: str):
+def make_metadata_batch(work_mode: str, case_signature: str, entity_rules=None):
     """mapInPandas stage over rows whose text is ALREADY extracted
     (page-parallel path): runs only the cascade + spans."""
+    provider = _build_provider(entity_rules)
 
     def metadata_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -147,7 +163,8 @@ def make_metadata_batch(work_mode: str, case_signature: str):
                 batch["extracted_text"], batch["status"], batch["n_bytes"],
             ):
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
-                                  int(n_bytes), work_mode, case_signature)
+                                  int(n_bytes), work_mode, case_signature,
+                                  entity_provider=provider)
             yield pd.DataFrame(cols, columns=_FIELD_NAMES)
 
     return metadata_batch
@@ -168,6 +185,7 @@ def extract_documents(
     partitions: int | None = None,
     paged_threshold: int | None = None,
     shuffle: bool = False,
+    entity_rules=None,
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
@@ -193,7 +211,7 @@ def extract_documents(
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    fn = make_extract_batch(language, work_mode, case_signature)
+    fn = make_extract_batch(language, work_mode, case_signature, entity_rules)
     cols = df.select("url", "warc_ts", "html", "lang")
 
     def run(frame: DataFrame) -> DataFrame:
@@ -236,6 +254,49 @@ def observed_extraction(df: DataFrame, **kwargs):
         F.sum((F.col("status") != "Sukces").cast("long")).alias("n_errors"),
     )
     return extracted, obs
+
+
+def with_display_numbers(
+    df: DataFrame,
+    work_mode: str = "KP",
+    ts_col: str = "warc_ts",
+    keys_df: DataFrame | None = None,
+    out_col: str = "display_number",
+) -> DataFrame:
+    """Append the year-scoped counter (``lp_year``) and its display string.
+
+    The reference keeps session counters keyed ``"{work_mode}/{year}"``
+    (SA mode in a separate dict, gui/pdf_processor_app.py:596-616) and
+    renders them with the TYPE_PATTERNS literals ``KP/{num}/{year}`` /
+    ``SA{num}_{year}`` (gui/constants.py:9-13).  Spark form: the two-phase
+    dense-rank numbering partitioned by ``(work_mode, year(ts_col))`` —
+    equal to the sequential counter bumps given sorted input — with the
+    display string built from JVM expressions (no UDF).
+    """
+    year = F.year(F.col(ts_col)).cast("int")
+    base = df.withColumn("work_mode", F.lit(work_mode)).withColumn("__year", year)
+    keys = (
+        keys_df.select("url", ts_col)
+        .withColumn("work_mode", F.lit(work_mode))
+        .withColumn("__year", year)
+        .drop(ts_col)
+        if keys_df is not None
+        else None
+    )
+    numbered = with_sequence(
+        base,
+        order_col="url",
+        partition_cols=("work_mode", "__year"),
+        out_col="lp_year",
+        keys_df=keys,
+    )
+    num_s = F.col("lp_year").cast("string")
+    year_s = F.col("__year").cast("string")
+    if work_mode == "SA":
+        disp = F.concat(F.lit("SA"), num_s, F.lit("_"), year_s)
+    else:
+        disp = F.concat(F.lit(f"{work_mode}/"), num_s, F.lit("/"), year_s)
+    return numbered.withColumn(out_col, disp).drop("__year")
 
 
 def with_new_names(

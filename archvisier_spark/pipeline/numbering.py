@@ -48,6 +48,12 @@ def with_sequence(
 
     source = keys_df if keys_df is not None else df
     slim = source.select(*key_cols).repartitionByRange(n, F.col(order_col))
+    # CRITICAL: RangePartitioning samples split points PER EXECUTION — two
+    # jobs over the same lazy plan can land rows in different partitions.
+    # The offsets (collected below) and the __pid/__rn the join reads must
+    # come from ONE materialisation, so pin the slim slice here.  Cost is
+    # bounded: this is the pruned key slice, never the payload.
+    slim = slim.localCheckpoint(eager=True)
     slim = slim.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid", *partition_cols).orderBy(order_col)
     slim = slim.withColumn("__rn", F.row_number().over(w))
