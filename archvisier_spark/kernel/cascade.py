@@ -9,9 +9,12 @@ From-scratch reimplementation of the reference's layered extractor
                                         the reference's blank-model tests)
   step 2  SmartExtractor fills empties
   step 3  raw regexes fill remaining
-  step 4  optional LLM fill            (out of scope: optional dependency,
-                                        non-deterministic; gated off in the
-                                        reference by ``if llm_processor``)
+  step 4  optional LLM fill            (generation out of scope — optional,
+                                        non-deterministic; the MERGE
+                                        semantics are implemented with a
+                                        pluggable llm_tier, incl. the
+                                        temat→w_sprawie rename and
+                                        extra-key passthrough)
   step 5  empty-field colouring + status
 
 Field order and the ``colors``/``status`` contract are part of the output
@@ -54,6 +57,20 @@ EntityProvider = Callable[[str], Mapping[str, Sequence[str]]]
 # to disable step 2 (the reference tests stub it to all-empty the same way,
 # tests/test_processing_worker_regex.py:11-26).
 SmartTier = Callable[[str], Mapping[str, str]]
+# An LLM tier maps (text, filename) -> metadata dict (step 4,
+# processing_worker.py:271-296).  The generation itself is out of scope
+# (optional, non-deterministic); the MERGE semantics are in scope and
+# pluggable: known fields fill only when empty ("temat" feeds w_sprawie,
+# the X16 key-rename), unknown keys pass through as dynamic fields — the
+# producer side of the reference's dynamic-column mechanism
+# (pdf_processor_app.py:714-731).
+LlmTier = Callable[[str, str], Mapping[str, str]]
+
+
+def dynamic_label(key: str) -> str:
+    """Display label for a dynamic extra key when it is not one of the
+    pinned INFO_FIELDS labels (pdf_processor_app.py:726-728)."""
+    return key.replace("_", " ").title()
 
 
 def _no_entities(_text: str) -> Mapping[str, Sequence[str]]:
@@ -67,6 +84,7 @@ def extract_info_from_text(
     case_signature_override: str = "",
     entity_provider: EntityProvider | None = None,
     smart_tier: SmartTier | None = smart_extract_info,
+    llm_tier: LlmTier | None = None,
 ) -> dict:
     """Run the full cascade; returns the 7-field info record + colors map.
 
@@ -128,7 +146,35 @@ def extract_info_from_text(
         if m:
             info["sygnatura_sprawy"] = m.group(1).strip()
 
-    # Step 5 — empty-field colouring + status.
+    # Step 4 — optional LLM fill (processing_worker.py:271-296): each known
+    # field fills only when still empty; the LLM's "temat" key feeds
+    # w_sprawie (the X16 rename, ml_helper.py:377-380); tier errors skip
+    # the step (logged-and-continue in the reference).  Keys outside the
+    # core record pass through as dynamic fields — the reference's
+    # dynamic-column discovery (pdf_processor_app.py:714-731) reads
+    # arbitrary info keys, and this is the pluggable producer for them.
+    if llm_tier is not None:
+        try:
+            llm = llm_tier(text, original_filename) or {}
+        except Exception:
+            llm = {}
+        if not info["typ_dokumentu"] and llm.get("typ_dokumentu"):
+            info["typ_dokumentu"] = llm["typ_dokumentu"]
+        if not info["data"] and llm.get("data"):
+            info["data"] = llm["data"]
+        if not info["w_sprawie"] and llm.get("temat"):
+            info["w_sprawie"] = llm["temat"]
+        if not info["nadawca_odbiorca"] and llm.get("nadawca_odbiorca"):
+            info["nadawca_odbiorca"] = llm["nadawca_odbiorca"]
+        if not info["numer_dokumentu"] and llm.get("numer_dokumentu"):
+            info["numer_dokumentu"] = llm["numer_dokumentu"]
+        for key, value in llm.items():
+            if key not in info and key != "temat":
+                info[key] = value
+
+    # Step 5 — empty-field colouring + status.  The loop runs over ALL
+    # info keys (processing_worker.py:299-301), so empty dynamic extras
+    # are flagged exactly like core fields.
     colors: dict[str, str] = {}
     for key, value in info.items():
         if key != "status" and not value:

@@ -35,19 +35,56 @@ EMPTY_PDF_TEXT = "BŁĄD: Plik PDF jest pusty lub uszkodzony."
 OCR_ERROR_PREFIX = "BŁĄD TECHNICZNY OCR: "
 
 
-def extract_pdf_text(payload: bytes, language: str = "auto") -> tuple[str, str]:
-    """PDF path: pages → language → repair → concat (+"\\n" per page)."""
+def _text_layer_ocr(page_text: str, _lang: str, _config: str) -> str:
+    """Default per-page 'OCR': the text layer itself (raster OCR binaries
+    are absent in this sandbox; on a cluster, plug real Tesseract here)."""
+    return page_text
+
+
+def ocr_page_auto(page, language: str, ocr_fn, detect_fn=None, config: str = ""):
+    """The two-pass auto-language OCR decision (processing/ocr.py:208-226).
+
+    ``language == "auto"``: OCR once with ``"pol+eng"``, language-detect
+    the preliminary text (detector failure → ``"pol"``,
+    processing/ocr.py:216-218), then re-OCR the SAME page in the resolved
+    single language.  A fixed language OCRs exactly once.  ``ocr_fn(page,
+    lang, config)`` is pluggable — real Tesseract on a cluster, a fake in
+    tests; the reference pins this contract the same way
+    (tests/test_ocr.py:96-120).  Returns ``(text, resolved_lang)`` where
+    resolved_lang is the tesseract code ("pol"/"eng") fed to
+    :func:`correct_text` downstream.
+    """
+    if language == "auto":
+        preliminary = ocr_fn(page, "pol+eng", config)
+        try:
+            detected = (detect_fn or detect_lang)(preliminary)
+        except Exception:
+            detected = "pl"  # fall back to polish, processing/ocr.py:217-218
+        lang = "pol" if detected == "pl" else "eng"
+        return ocr_fn(page, lang, config), lang
+    return ocr_fn(page, language, config), language
+
+
+def extract_pdf_text(
+    payload: bytes,
+    language: str = "auto",
+    ocr_fn=None,
+    detect_fn=None,
+    config: str = "",
+) -> tuple[str, str]:
+    """PDF path: pages → (auto-language OCR decision) → repair → concat
+    (+"\\n" per page, processing/ocr.py:227-231)."""
+    per_page_ocr = ocr_fn or _text_layer_ocr
     try:
         pages = pdf_page_texts(payload)
         if not pages:
             return EMPTY_PDF_TEXT, ""
         full_text = ""
         for page_text in pages:
-            if language == "auto":
-                lang = "pol" if detect_lang(page_text) == "pl" else "eng"
-            else:
-                lang = language
-            full_text += correct_text(page_text, lang) + "\n"
+            text_page, lang = ocr_page_auto(
+                page_text, language, per_page_ocr, detect_fn, config
+            )
+            full_text += correct_text(text_page, lang) + "\n"
         return full_text, STATUS_OK
     except Exception as e:
         return f"{OCR_ERROR_PREFIX}{e}", traceback.format_exc()

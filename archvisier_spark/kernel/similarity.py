@@ -137,9 +137,98 @@ def fuzzy_similarity(a: str, b: str) -> float:
     final fallback as canonical: it is dependency-free, deterministic, and
     the one the reference tests exercise in the stubbed environment.
     Acceptance threshold downstream is 0.7 (context_analyzer.py:80).
+    The two preferred tiers are implemented from scratch below
+    (:func:`jaro_winkler`, :func:`levenshtein_ratio`) so a deployment that
+    wants the reference's rapidfuzz-installed behaviour gets identical
+    values via :func:`fuzzy_similarity_chain`.
     """
     if a == b:
         return 1.0
     if not a or not b:
         return 0.0
     return 1.0 - levenshtein(a, b) / max(len(a), len(b))
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    """Standard Jaro similarity (public algorithm; the base of the
+    reference's preferred rapidfuzz tier).  Both-empty → 1.0, one-empty →
+    0.0 — rapidfuzz's normalized_similarity conventions."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler with the standard ≤4-char common-prefix boost —
+    value-compatible with ``rapidfuzz.distance.JaroWinkler.
+    normalized_similarity`` at its default prefix weight 0.1 (the
+    reference's first-choice tier, context_analyzer.py:12-16)."""
+    sim = jaro_similarity(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return sim + prefix * prefix_weight * (1.0 - sim)
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    """``Levenshtein.ratio`` semantics (the chain's second tier,
+    context_analyzer.py:18-22): indel distance (substitution cost 2)
+    normalised by the length sum — equivalently ``2·LCS/(|a|+|b|)``.
+    Both-empty → 1.0."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    prev = [0] * (lb + 1)
+    cur = [0] * (lb + 1)
+    for ca in a:
+        for j, cb in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1])
+        prev, cur = cur, prev
+    lcs = prev[lb]
+    return 2.0 * lcs / (la + lb)
+
+
+def fuzzy_similarity_chain(a: str, b: str, tier: str = "jaro_winkler") -> float:
+    """The reference's full preference chain, tier-selectable: a cluster
+    with rapidfuzz installed computes Jaro-Winkler; one with only
+    python-Levenshtein computes ratio; the bare environment computes the
+    normalised-levenshtein fallback (the engine's pinned canonical)."""
+    if tier == "jaro_winkler":
+        return jaro_winkler(a, b)
+    if tier == "ratio":
+        return levenshtein_ratio(a, b)
+    return fuzzy_similarity(a, b)

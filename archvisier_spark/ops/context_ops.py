@@ -62,11 +62,15 @@ def q_context_corrections(spark, sf_dir):
     fragment length the cost knob (the reference caps prompt-side
     fragments at 200 too, context_analyzer.py:305)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corrections = docs.filter(F.col("doc_id") < 200).select(
+    corrections = docs.filter(F.col("doc_id") < 120).select(
         F.col("doc_id").alias("corr_id"),
         F.substring("text", 1, 200).alias("fragment"),
     )
-    queries = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 215)).select(
+    # query range [200, 330) vs corrections [0, 120): sized so the corpus
+    # contains BOTH accepted rows (sim = 1.0 exact-fragment dupes) and
+    # rejected ones — the threshold is exercised in both directions while
+    # the quadratic fuzzy kernel stays test-budget friendly
+    queries = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 330)).select(
         F.col("doc_id").alias("query_id"), F.substring("text", 1, 200).alias("qtext")
     )
     scored = queries.crossJoin(F.broadcast(corrections)).select(
@@ -99,9 +103,51 @@ def q_extraction_roundtrip(spark, sf_dir):
     )
 
 
+# The J3 fuzzy kernel's canonical form (1 - lev/max(len), kernel.similarity
+# fuzzy_similarity) is exactly expressible in DuckDB — so the argmax join
+# gets a full value oracle (the NumPy-vectorised kernel must agree with
+# plain SQL levenshtein to 6 dp).
+_CORRECTIONS_SQL = """
+WITH corrections AS (
+  SELECT doc_id AS corr_id, substr(text, 1, 200) AS fragment
+  FROM documents WHERE doc_id < 120
+),
+queries AS (
+  SELECT doc_id AS query_id, substr(text, 1, 200) AS qtext
+  FROM documents WHERE doc_id >= 200 AND doc_id < 330
+),
+scored AS (
+  SELECT query_id, corr_id,
+         CASE WHEN fragment = qtext THEN 1.0
+              ELSE 1 - levenshtein(fragment, qtext)::DOUBLE
+                       / greatest(length(fragment), length(qtext))
+         END AS sim
+  FROM queries CROSS JOIN corrections
+)
+SELECT query_id, best_corr, best_sim
+FROM (
+  SELECT query_id,
+         min(CASE WHEN rn = 1 THEN corr_id END) AS best_corr,
+         round(max(sim), 6) AS best_sim
+  FROM (
+    SELECT query_id, corr_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, corr_id ASC) AS rn
+    FROM scored
+  )
+  GROUP BY query_id
+) WHERE best_sim >= 0.7
+"""
+
 QUERIES = {
     "context_similar_docs": q_context_similar_docs,
     "context_corrections": q_context_corrections,
     "extraction_roundtrip": q_extraction_roundtrip,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "context_corrections": _CORRECTIONS_SQL,
+    # context_similar_docs: K5 stub encoder (seeded PRNG) is deliberately
+    # Python-exact → rows-only; kernel differential in tests/test_ops_context.py
+    # extraction_roundtrip: full binary pipeline gauge → rows-only;
+    # per-url byte-identity in tests/test_pipeline_differential.py
+}

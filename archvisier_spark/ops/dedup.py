@@ -168,31 +168,67 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-def q_minhash_lsh_dedup(spark, sf_dir):
-    """Candidate pairs via MinHash-LSH, verified with exact token Jaccard.
+def shingle_col(text_col, width: int = SHINGLE):
+    """Distinct token-shingle strings — the unit BOTH the sketch and the
+    verification measure (mixing units, e.g. sketching shingles but
+    verifying token-set jaccard, makes 'near-duplicate' mean two different
+    things)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n_shingles = F.greatest(F.size(toks) - (width - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+        )
+    )
 
-    Rows-only driver check (hash values are engine-specific); recall vs
-    brute force is asserted in tests/test_ops_dedup.py.
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Candidate pairs via MinHash-LSH, verified with exact SHINGLE Jaccard
+    (the similarity the sketch estimates), emitted at ≥ 0.5.
+
+    Oracle: brute-force shingle jaccard in DuckDB.  The sketch is
+    deterministic (xxhash64, fixed seeds) and at s ≥ 0.5 the 16×2 banding
+    has per-pair miss probability (1-s²)^16 ≤ 1%, measured 0 misses on the
+    driver corpus — so the LSH output EQUALS the brute-force set here and
+    the driver gets a full rows+schema+hash check on the scale path.
     """
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
     cands = lsh_candidate_pairs(minhash_signatures(docs))
-    toks = docs.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks")
-    )
+    sh = docs.select("doc_id", shingle_col("text").alias("sh"))
     verified = (
-        cands.join(toks.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-        .join(toks.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("toks_a", "toks_b"))
-                / F.size(F.array_union("toks_a", "toks_b")),
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
                 4,
             ),
         )
         .filter(F.col("jaccard") >= 0.5)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+_MINHASH_LSH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(t[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(t) - 2, 1) + 1)
+         ]) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE doc_id < 2000)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+"""
 
 
 # --- SimHash: JVM token hashing + NumPy bit-vote (zero per-token Python) ---
@@ -264,6 +300,9 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": _EXACT_DEDUP_SQL,
     "dedup_near_jaccard": _NEAR_DUP_SQL,
-    # dedup_minhash_lsh, dedup_simhash_buckets: engine-specific hashes →
-    # rows-only driver check; correctness pinned by tests/test_ops_dedup.py
+    # LSH output == brute-force shingle-jaccard set on the driver corpus
+    # (measured 0 misses; sketch is deterministic) → full value oracle
+    "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    # dedup_simhash_buckets: engine-specific hashes → rows-only driver
+    # check; correctness pinned by tests/test_ops_dedup.py
 }

@@ -226,6 +226,105 @@ FROM t
 """
 
 
+# --- X9/J4 scale form: token ⋈ dictionary nearest-word correction ---
+
+# Small correction dictionary: corpus vocabulary + decoys.  The kernel
+# (correct_text) keeps full Python-re parity; this is the SURVEY §2.5 J4
+# Spark-native shape — explode → broadcast-dict join → min_by — for the
+# 100 TB regime, proven per-row against DuckDB.
+CORRECTION_DICT = (
+    "table", "query", "window", "filter", "stream", "batch", "column",
+    "vector", "merge", "spark", "customer", "partition", "shuffle",
+)
+
+
+def q_dictionary_correction(spark, sf_dir):
+    """Per-document dictionary repair at scale (processing/ocr.py:108-130
+    re-expressed relationally): explode tokens, mark in-dictionary tokens,
+    correct out-of-dictionary tokens to the nearest dictionary word when
+    edit distance ≤ 2 (argmin with deterministic tie on the word), and
+    reassemble the corrected text in token order.  The dictionary is
+    broadcast (it is by nature small); the only wide shuffle is the
+    per-document regroup."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    )
+    dict_df = spark.createDataFrame([(w,) for w in CORRECTION_DICT], ["dict_word"])
+    in_dict = toks.join(
+        F.broadcast(dict_df), toks.tok == dict_df.dict_word, "left_semi"
+    ).withColumn("word", F.col("tok"))
+    oov = toks.join(F.broadcast(dict_df), toks.tok == dict_df.dict_word, "left_anti")
+    corrected = (
+        oov.crossJoin(F.broadcast(dict_df))
+        .withColumn("dist", F.levenshtein("tok", "dict_word"))
+        .groupBy("doc_id", "pos", "tok")
+        .agg(
+            F.expr("min_by(dict_word, struct(dist, dict_word))").alias("nearest"),
+            F.min("dist").alias("dist"),
+        )
+        .withColumn(
+            "word",
+            F.when(F.col("dist") <= 2, F.col("nearest")).otherwise(F.col("tok")),
+        )
+    )
+    repaired = in_dict.select("doc_id", "pos", "word").unionByName(
+        corrected.select("doc_id", "pos", "word")
+    )
+    return repaired.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("corrected_text"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+_DICTIONARY_CORRECTION_SQL = f"""
+WITH dict AS (SELECT unnest({list(CORRECTION_DICT)!r}) AS dict_word),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE doc_id < 100)
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         EXISTS (SELECT 1 FROM dict WHERE dict_word = tok) AS in_dict
+  FROM toks
+),
+corrected AS (
+  SELECT m.doc_id, m.pos,
+         CASE WHEN m.in_dict THEN m.tok
+              WHEN n.dist <= 2 THEN n.nearest
+              ELSE m.tok END AS word
+  FROM marked m
+  LEFT JOIN (
+    SELECT doc_id, pos,
+           min(dist) AS dist,
+           min(CASE WHEN rn = 1 THEN dict_word END) AS nearest
+    FROM (
+      SELECT m2.doc_id, m2.pos, d.dict_word,
+             levenshtein(m2.tok, d.dict_word) AS dist,
+             row_number() OVER (PARTITION BY m2.doc_id, m2.pos
+                                ORDER BY levenshtein(m2.tok, d.dict_word) ASC,
+                                         d.dict_word ASC) AS rn
+      FROM marked m2 CROSS JOIN dict d
+      WHERE NOT m2.in_dict
+    )
+    GROUP BY doc_id, pos
+  ) n ON m.doc_id = n.doc_id AND m.pos = n.pos
+)
+SELECT doc_id,
+       string_agg(word, ' ' ORDER BY pos) AS corrected_text,
+       count(*) AS n_tokens
+FROM corrected
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_lang_heuristic": q_lang_heuristic,
     "x2_date_cascade_native": q_date_cascade_native,
@@ -234,9 +333,11 @@ QUERIES = {
     "text_needs_value": q_needs_value,
     "text_group_concat_sources": q_group_concat_sources,
     "text_length_histogram": q_doc_length_histogram,
+    "x9_dictionary_correction": q_dictionary_correction,
 }
 
 ORACLES = {
+    "x9_dictionary_correction": _DICTIONARY_CORRECTION_SQL,
     "text_lang_heuristic": _LANG_SQL,
     "x2_date_cascade_native": _DATE_CASCADE_SQL,
     "text_header_tokens": _HEADER_TOKENS_SQL,

@@ -55,6 +55,9 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("typ_dokumentu", T.StringType(), False),
         T.StructField("doc_status", T.StringType(), False),
         T.StructField("colors", T.MapType(T.StringType(), T.StringType()), False),
+        # dynamic extra keys (the reference's late-bound columns,
+        # pdf_processor_app.py:714-731) as a schema-stable overflow MAP
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), False),
         T.StructField("spans", SPAN_TYPE, False),
         T.StructField("n_chars", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
@@ -88,12 +91,21 @@ def info_spans(text: str, info: dict) -> list[dict]:
     return spans
 
 
+# keys of the fixed info record — anything else in the cascade output is a
+# dynamic extra (overflow MAP column)
+_CORE_INFO_KEYS = frozenset(
+    ("data", "nadawca_odbiorca", "w_sprawie", "numer_dokumentu",
+     "sygnatura_sprawy", "typ_dokumentu", "status", "colors")
+)
+
+
 def _metadata_columns(cols: dict, url, warc_ts, lang, fmt, text, status, n_bytes,
                       work_mode: str, case_signature: str,
-                      entity_provider=None) -> None:
+                      entity_provider=None, llm_tier=None) -> None:
     """Append one output row (cascade + spans) to the column accumulators."""
     info = extract_info_from_text(text, url, work_mode, case_signature,
-                                  entity_provider=entity_provider)
+                                  entity_provider=entity_provider,
+                                  llm_tier=llm_tier)
     cols["url"].append(url)
     cols["warc_ts"].append(warc_ts)
     cols["lang"].append(lang)
@@ -108,6 +120,9 @@ def _metadata_columns(cols: dict, url, warc_ts, lang, fmt, text, status, n_bytes
     cols["typ_dokumentu"].append(info["typ_dokumentu"])
     cols["doc_status"].append(info["status"])
     cols["colors"].append(info["colors"])
+    cols["extra"].append(
+        {k: str(v) for k, v in info.items() if k not in _CORE_INFO_KEYS}
+    )
     cols["spans"].append(info_spans(text, info))
     cols["n_chars"].append(len(text))
     cols["n_bytes"].append(n_bytes)
@@ -127,7 +142,7 @@ def _build_provider(entity_rules):
 
 
 def make_extract_batch(language: str, work_mode: str, case_signature: str,
-                       entity_rules=None):
+                       entity_rules=None, llm_tier=None):
     """Build the mapInPandas function (closure keeps config serialisable)."""
     provider = _build_provider(entity_rules)
 
@@ -144,13 +159,14 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str,
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   len(payload) if payload else 0,
                                   work_mode, case_signature,
-                                  entity_provider=provider)
+                                  entity_provider=provider, llm_tier=llm_tier)
             yield pd.DataFrame(cols, columns=_FIELD_NAMES)
 
     return extract_batch
 
 
-def make_metadata_batch(work_mode: str, case_signature: str, entity_rules=None):
+def make_metadata_batch(work_mode: str, case_signature: str, entity_rules=None,
+                        llm_tier=None):
     """mapInPandas stage over rows whose text is ALREADY extracted
     (page-parallel path): runs only the cascade + spans."""
     provider = _build_provider(entity_rules)
@@ -164,7 +180,7 @@ def make_metadata_batch(work_mode: str, case_signature: str, entity_rules=None):
             ):
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   int(n_bytes), work_mode, case_signature,
-                                  entity_provider=provider)
+                                  entity_provider=provider, llm_tier=llm_tier)
             yield pd.DataFrame(cols, columns=_FIELD_NAMES)
 
     return metadata_batch
@@ -186,6 +202,7 @@ def extract_documents(
     paged_threshold: int | None = None,
     shuffle: bool = False,
     entity_rules=None,
+    llm_tier=None,
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
@@ -211,7 +228,7 @@ def extract_documents(
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    fn = make_extract_batch(language, work_mode, case_signature, entity_rules)
+    fn = make_extract_batch(language, work_mode, case_signature, entity_rules, llm_tier)
     cols = df.select("url", "warc_ts", "html", "lang")
 
     def run(frame: DataFrame) -> DataFrame:

@@ -98,17 +98,38 @@ def write_text_files(extracted: DataFrame, out_dir: str) -> None:
     ).write.mode("overwrite").text(out_dir)
 
 
+# Status → cell-fill hex literals, verbatim from the reference's XLSX
+# styler (pdf_processor_app.py:1103-1107) — carried as DATA so a styling
+# layer (openpyxl, a BI tool) can reproduce the exact fills.
+STATUS_FILLS = {
+    "OK": "C6EFCE",
+    "BŁĄD": "F8CBAD",
+    "DO UZUPEŁNIENIA": "FFF3CD",
+}
+
+
+def status_fill_col(status_col) -> F.Column:
+    """The status→fill map as an expression (unknown statuses → empty,
+    matching the reference's ``status_fills.get(status)`` no-fill path)."""
+    expr = F.lit("")
+    for status, fill in STATUS_FILLS.items():
+        expr = F.when(status_col == status, F.lit(fill)).otherwise(expr)
+    return expr
+
+
 def export_results_table(named: DataFrame, out_path: str) -> None:
     """S8 results export.  The reference styles an XLSX driver-side
     (pdf_processor_app.py:1023-1122 — presentation, not engine); the
     engine-parity export is the full results table, with the status colour
-    map carried as data.  Written as a single CSV part (driver-scale
-    artifact, like the reference's one workbook); swap ``.csv`` for
+    map carried as data (``status_fill`` holds the reference's exact hex
+    literals).  Written as a single CSV part (driver-scale artifact, like
+    the reference's one workbook); swap ``.csv`` for
     ``df.toPandas().to_excel`` where openpyxl exists."""
     (
         named.select(
             "url", "lp", "new_name", "data", "nadawca_odbiorca", "w_sprawie",
             "numer_dokumentu", "sygnatura_sprawy", "typ_dokumentu", "doc_status",
+            status_fill_col(F.col("doc_status")).alias("status_fill"),
             F.to_json("colors").alias("colors_json"),
         )
         .coalesce(1)

@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        # 64-bit Arrow offsets: one contiguous buffer for megabyte binary
+        # payloads instead of 2 GiB-bounded chunked arrays
+        .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
         .config("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
         .config("spark.sql.files.openCostInBytes", FILES_OPEN_COST)
         .config("spark.ui.enabled", "false")

@@ -318,3 +318,44 @@ def test_fuzzy_fast_equals_canonical():
     assert fuzzy_similarity_fast("abcd", "abce") == fuzzy_similarity("abcd", "abce")
     assert fuzzy_similarity_fast("", "x") == 0.0
     assert fuzzy_similarity_fast("x", "x") == 1.0
+
+
+# --- K4 preference chain tiers (context_analyzer.py:10-42) ---
+# The canonical engine default stays the final fallback (pinned above);
+# these pin the from-scratch Jaro-Winkler / Levenshtein.ratio tiers to
+# textbook values so a rapidfuzz-equipped deployment gets identical
+# numbers from fuzzy_similarity_chain.
+
+def test_jaro_winkler_textbook_goldens():
+    from archvisier_spark.kernel.similarity import jaro_similarity, jaro_winkler
+
+    assert round(jaro_similarity("MARTHA", "MARHTA"), 7) == 0.9444444
+    assert round(jaro_winkler("MARTHA", "MARHTA"), 7) == 0.9611111
+    assert round(jaro_similarity("DWAYNE", "DUANE"), 7) == 0.8222222
+    assert round(jaro_winkler("DWAYNE", "DUANE"), 2) == 0.84
+    assert round(jaro_winkler("DIXON", "DICKSONX"), 7) == 0.8133333
+    assert jaro_winkler("", "") == 1.0          # rapidfuzz convention
+    assert jaro_winkler("a", "") == 0.0
+
+
+def test_levenshtein_ratio_golden():
+    from archvisier_spark.kernel.similarity import levenshtein_ratio
+
+    # python-Levenshtein documented example
+    assert round(levenshtein_ratio("kitten", "sitting"), 7) == 0.6153846
+    assert levenshtein_ratio("", "") == 1.0
+    assert levenshtein_ratio("abc", "abc") == 1.0
+
+
+def test_fuzzy_chain_tier_selection():
+    from archvisier_spark.kernel.similarity import (
+        fuzzy_similarity,
+        fuzzy_similarity_chain,
+        jaro_winkler,
+        levenshtein_ratio,
+    )
+
+    a, b = "Ministerstwo Finansów", "Ministerstwo Finansow"
+    assert fuzzy_similarity_chain(a, b) == jaro_winkler(a, b)
+    assert fuzzy_similarity_chain(a, b, tier="ratio") == levenshtein_ratio(a, b)
+    assert fuzzy_similarity_chain(a, b, tier="fallback") == fuzzy_similarity(a, b)

@@ -47,9 +47,11 @@ def test_corrections_matches_kernel(spark, doc_texts):
     corrections = [
         {"text_fragment": doc_texts[i][:200],
          "changed_fields": {"f": {"original": "", "corrected": str(i)}}}
-        for i in range(200)
+        for i in range(120)
     ]
-    for qid in range(200, 215):
+    # every 5th query: the quadratic kernel loop is the cost; full per-row
+    # parity is covered by the DuckDB oracle (context_corrections)
+    for qid in range(200, 330, 5):
         suggestion = find_relevant_correction(corrections, doc_texts[qid][:200], "f")
         if suggestion is None:
             assert qid not in got, qid

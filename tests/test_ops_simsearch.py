@@ -15,18 +15,21 @@ def brute(spark):
     }
 
 
-def test_ann_lsh_recall(spark, brute):
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_ann_lsh_recall(spark, brute, seed):
+    """Recall gate: ≥ 0.6 for EVERY plane seed (10/10).  Random 64-dim
+    embeddings are LSH's worst case; the 10-band × 4-bit config was tuned
+    to clear this bar with margin (min 0.64 across seeds 0-9)."""
     ann = {
         (r["query_id"], r["cand_id"])
-        for r in q_ann_lsh_topk(spark, SF_DIR).collect()
+        for r in q_ann_lsh_topk(spark, SF_DIR, seed=seed).collect()
     }
-    # ANN is approximate; random 64-dim embeddings are a worst case, but
-    # banded signatures must still recover a meaningful share of the true
-    # top-k and must never return a non-candidate ranked above rank K with
-    # wrong scores (scores are exact cosine on the candidate set).
     assert len(ann) > 0
     recall = len(ann & brute) / len(brute)
-    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    precision = len(ann & brute) / len(ann)
+    print(f"seed={seed} recall={recall:.3f} precision={precision:.3f} "
+          f"returned={len(ann)}")
+    assert recall >= 0.6, f"ANN recall below gate at seed {seed}: {recall}"
 
 
 def test_ann_scores_are_exact_cosine(spark):

@@ -108,3 +108,55 @@ def test_text_and_csv_sinks(spark, tmp_path):
     assert len(csv_files) == 1  # single driver-scale artifact
     header = open(csv_files[0], encoding="utf-8").readline()
     assert header.startswith("url,lp,new_name")
+
+
+def test_status_fill_map_golden(spark):
+    """pdf_processor_app.py:1103-1107 literals carried as data; unknown
+    statuses get no fill (the reference's dict.get no-color path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from archvisier_spark.pipeline.training import STATUS_FILLS, status_fill_col
+
+    assert STATUS_FILLS == {
+        "OK": "C6EFCE",
+        "BŁĄD": "F8CBAD",
+        "DO UZUPEŁNIENIA": "FFF3CD",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_status": ["OK", "BŁĄD", "DO UZUPEŁNIENIA", "INNE"]})
+    )
+    got = {
+        r["doc_status"]: r["fill"]
+        for r in df.select("doc_status", status_fill_col(F.col("doc_status")).alias("fill")).collect()
+    }
+    assert got == {
+        "OK": "C6EFCE",
+        "BŁĄD": "F8CBAD",
+        "DO UZUPEŁNIENIA": "FFF3CD",
+        "INNE": "",
+    }
+
+
+def test_export_carries_status_fill(spark, tmp_path):
+    import glob as _glob
+
+    from archvisier_spark.corpus import corpus_df
+    from archvisier_spark.pipeline.extract import extract_documents, with_new_names
+
+    docs = corpus_df(spark, 6, seed=9, partitions=2)
+    named = with_new_names(extract_documents(docs), keys_df=docs)
+    export_results_table(named, str(tmp_path / "csv2"))
+    csv_file = _glob.glob(str(tmp_path / "csv2" / "part-*"))[0]
+    lines = open(csv_file, encoding="utf-8").read().splitlines()
+    header = lines[0].split(",")
+    assert "status_fill" in header
+    idx_fill = header.index("status_fill")
+    idx_status = header.index("doc_status")
+    fills = {"C6EFCE", "F8CBAD", "FFF3CD", ""}
+    import csv as _csv
+
+    for row in _csv.reader(lines[1:]):
+        assert (row[idx_fill] or "") in fills
+        if row[idx_status] == "OK":
+            assert row[idx_fill] == "C6EFCE"
