@@ -190,6 +190,100 @@ def q_ann_lsh_topk(spark, sf_dir, seed: int = 42):
     )
 
 
+# --- IVF (inverted-file) ANN: the clustered-data scale path ---
+
+IVF_K = 16        # coarse centroids (inverted lists)
+IVF_NPROBE = 4    # lists probed per query
+
+
+def _centroid_sims(vec_col, centroids: list[list[float]]):
+    """(similarity, centroid_id) structs for every centroid — built-ins
+    only, so assignment stays in whole-stage codegen."""
+    return F.array(
+        *[
+            F.struct(
+                cosine_col(vec_col, F.array(*[F.lit(v) for v in c])).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def assign_bucket(vec_col, centroids: list[list[float]]):
+    """argmax-cosine centroid id (struct array_max orders by first field)."""
+    return F.array_max(_centroid_sims(vec_col, centroids)).getField("c")
+
+
+def probe_buckets(vec_col, centroids: list[list[float]], nprobe: int = IVF_NPROBE):
+    """The nprobe nearest centroid ids, best first."""
+    ordered = F.reverse(F.array_sort(_centroid_sims(vec_col, centroids)))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s.getField("c"))
+
+
+def train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
+    """One deterministic Lloyd iteration: seed with the k lowest-id
+    vectors, assign every vector, recompute per-bucket means.  Both the
+    seed collect (k×dim) and the means collect (k×dim rows) are
+    metadata-sized; the assignment pass is a map-only expression over the
+    table — the shape that trains on 10^12 rows."""
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    assigned = emb.withColumn("cid", assign_bucket("embedding", seeds))
+    means = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    dim = len(seeds[0])
+    cents = [list(s) for s in seeds]  # empty buckets keep their seed
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    for cid, posmap in by_cid.items():
+        cents[cid] = [float(posmap[p]) for p in range(dim)]
+    return cents
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: coarse-quantize vectors into K inverted lists, probe
+    the nprobe nearest lists per query, exact cosine rank inside them.
+
+    Rows-only driver check (centroids derive from a training pass); recall
+    is pinned in tests/test_ops_simsearch.py on CLUSTERED synthetic data —
+    the property IVF exploits (on this corpus's random Gaussian vectors,
+    hyperplane LSH is the better-suited variant and carries the tuned
+    recall gate)."""
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb)
+    lists = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c"),
+        assign_bucket("embedding", cents).alias("cid"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.explode(probe_buckets("embedding", cents)).alias("cid"),
+    )
+    scored = (
+        lists.join(F.broadcast(queries), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine_col("q", "c").alias("cos"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.first("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cosine"))
+    )
+
+
 # --- J2 analog: similar-document recall with threshold (top-3, > 0.2) ---
 
 def q_similar_above_threshold(spark, sf_dir):
@@ -271,6 +365,7 @@ QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_norm_stats": q_norm_stats,
     "sim_ann_lsh_topk": q_ann_lsh_topk,
+    "sim_ivf_topk": q_ivf_topk,
     "sim_similar_above_threshold": q_similar_above_threshold,
     "sim_embedding_near_dup": q_embedding_near_dup,
 }

@@ -226,6 +226,39 @@ FROM t
 """
 
 
+# --- BPE-ish tokenisation counts (training-pipeline token accounting) ---
+
+# GPT-2-style pre-tokeniser simplified to the RE2 ∩ Java-regex common
+# subset (no lookarounds): contraction suffixes, letter runs (incl.
+# Latin-Extended for Polish diacritics), digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-zÀ-ž]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Token accounting for a training-data pipeline: whitespace tokens vs
+    BPE-ish pre-tokens per document — both pure JVM expressions
+    (regexp_extract_all runs in whole-stage codegen; the same pattern is
+    RE2-compatible, so DuckDB verifies per-row)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents WHERE doc_id < 300
+"""
+
+
 # --- X9/J4 scale form: token ⋈ dictionary nearest-word correction ---
 
 # Small correction dictionary: corpus vocabulary + decoys.  The kernel
@@ -333,10 +366,12 @@ QUERIES = {
     "text_needs_value": q_needs_value,
     "text_group_concat_sources": q_group_concat_sources,
     "text_length_histogram": q_doc_length_histogram,
+    "text_bpe_token_counts": q_bpe_token_counts,
     "x9_dictionary_correction": q_dictionary_correction,
 }
 
 ORACLES = {
+    "text_bpe_token_counts": _BPE_TOKEN_SQL,
     "x9_dictionary_correction": _DICTIONARY_CORRECTION_SQL,
     "text_lang_heuristic": _LANG_SQL,
     "x2_date_cascade_native": _DATE_CASCADE_SQL,

@@ -152,8 +152,14 @@ def main_scaling(trials: int = 3) -> None:
     docs = None
     for _trial in range(trials):
         for n in (8, 32):
+            # confine each level to exactly N cores: an N-core executor's
+            # GC/IO/shuffle threads share its N provisioned cores — without
+            # the cpuset, local[8] borrows the box's idle 24 cores for JVM
+            # service threads and inflates the small-N baseline
+            cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, __file__,
+                   "--throughput-only", f"local[{n}]"]
             out = subprocess.run(
-                [sys.executable, __file__, "--throughput-only", f"local[{n}]"],
+                cmd,
                 capture_output=True,
                 text=True,
                 check=True,
@@ -186,7 +192,10 @@ def main_scaling(trials: int = 3) -> None:
             "north-rule docs incl. ~400 KB ×500-page skew rows), run at local[8]\n"
             "and local[32] in separate JVMs — the sandbox proxy for the\n"
             f"N-vs-4N-executor rule.  {trials} interleaved trials per level;\n"
-            "medians reported (this shared VM shows ±20% run noise).\n\n"
+            "medians reported (this shared VM shows ±20% run noise).  Each\n"
+            "level runs under `taskset -c 0-(N-1)`: an N-core executor's\n"
+            "GC/IO/shuffle threads share its N provisioned cores, so the\n"
+            "small-N baseline must not borrow the box's idle cores.\n\n"
             "| master | trial secs | median docs/s |\n|---|---|---|\n"
             f"| local[8] | {', '.join(f'{s:.1f}' for s in secs[8])} | {med8:.0f} |\n"
             f"| local[32] | {', '.join(f'{s:.1f}' for s in secs[32])} | {med32:.0f} |\n\n"

@@ -32,6 +32,54 @@ def test_ann_lsh_recall(spark, brute, seed):
     assert recall >= 0.6, f"ANN recall below gate at seed {seed}: {recall}"
 
 
+def test_ivf_recall_on_clustered_data(spark, tmp_path):
+    """IVF exploits cluster structure — test it on data that HAS clusters:
+    16 Gaussian blobs in 64-dim.  True nearest neighbours live in the
+    query's own blob, so the trained inverted lists must recover nearly
+    all of the brute-force top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from archvisier_spark.ops.simsearch import q_cosine_topk, q_ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64)) * 5
+    vecs = []
+    for i in range(800):
+        vecs.append(centers[i % 16] + rng.normal(size=64))
+    df = pd.DataFrame(
+        {
+            "vec_id": range(800),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": [i % 16 for i in range(800)],
+        }
+    )
+    sf_dir = str(tmp_path / "clustered")
+    spark.createDataFrame(df).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    brute = {
+        (r["query_id"], r["cand_id"]) for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {(r["query_id"], r["cand_id"]) for r in q_ivf_topk(spark, sf_dir).collect()}
+    recall = len(ivf & brute) / len(brute)
+    print(f"IVF clustered recall={recall:.3f}")
+    assert recall >= 0.9, f"IVF recall on clustered data too low: {recall}"
+
+
+def test_ivf_runs_on_driver_corpus(spark):
+    """Rows-only sanity on the real embeddings table: every query returns
+    TOP_K rows with exact-cosine scores."""
+    from archvisier_spark.ops.simsearch import TOP_K, q_ivf_topk
+
+    rows = q_ivf_topk(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == 5
+    for q, rs in per_q.items():
+        assert len(rs) == TOP_K
+
+
 def test_ann_scores_are_exact_cosine(spark):
     """For every (query, cand) the ANN path reports, the score must equal
     the brute-force cosine for the same pair."""
