@@ -16,6 +16,7 @@ work with a DuckDB-checkable oracle.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -163,6 +164,107 @@ def image_features(df: DataFrame, target: int = 32) -> DataFrame:
     return df.filter(F.col("kind") == "image").mapInPandas(featurize, RESIZE_SCHEMA)
 
 
+# --- video: fixture container + frame sampling (1 blob → N frame rows) ---
+
+SVID_MAGIC = b"SVID"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_sec", T.DoubleType(), False),
+        T.StructField("frame_bytes", T.IntegerType(), False),
+        T.StructField("frame_hash", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def build_svid(fps: int, n_frames: int, frame_bytes: int, seed: int) -> bytes:
+    """Deterministic synthetic video container:
+    ``SVID + fps:u32 + n_frames:u32 + frame_bytes:u32 + frames…``."""
+    head = SVID_MAGIC + struct.pack("<III", fps, n_frames, frame_bytes)
+    frames = bytearray()
+    for f in range(n_frames):
+        frames += bytes(((seed + f) * 2654435761 + i * 97) & 0xFF for i in range(frame_bytes))
+    return head + bytes(frames)
+
+
+def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas expansion: every ``stride``-th
+    frame becomes a row with its timestamp and a content hash.
+
+    This is the real Spark plumbing for video pipelines — per-blob frame
+    slicing inside the Arrow batch, rows out, errors as rows.  Real codec
+    decode (ffmpeg) would replace the byte-slice body; the container
+    header math and the batch shape are what the engine owns."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                blob = bytes(row.blob)
+                if blob[:4] != SVID_MAGIC:
+                    out.append({"media_id": row.media_id, "frame_idx": -1,
+                                "t_sec": 0.0, "frame_bytes": 0, "frame_hash": 0,
+                                "status": "not a video container"})
+                    continue
+                try:
+                    fps, n_frames, frame_bytes = struct.unpack_from("<III", blob, 4)
+                    base = 4 + 12
+                    for f in range(0, n_frames, stride):
+                        frame = blob[base + f * frame_bytes: base + (f + 1) * frame_bytes]
+                        # C-speed content hash (no per-byte Python)
+                        h = zlib.crc32(frame)
+                        out.append({
+                            "media_id": row.media_id,
+                            "frame_idx": f,
+                            "t_sec": f / fps if fps else 0.0,
+                            "frame_bytes": len(frame),
+                            "frame_hash": h,
+                            "status": "ok",
+                        })
+                except Exception as e:
+                    out.append({"media_id": row.media_id, "frame_idx": -1,
+                                "t_sec": 0.0, "frame_bytes": 0, "frame_hash": 0,
+                                "status": f"parse error: {e}"})
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def video_table(spark: SparkSession, n: int = 40, seed: int = 7) -> DataFrame:
+    """Fixture video table (media_id, blob)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        {
+            "media_id": i,
+            "blob": build_svid(rng.choice([10, 24, 30]), rng.randint(10, 60), 128, i)
+            if i % 5 != 4
+            else b"JUNK" + bytes(8),  # planted non-video rows
+        }
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), False),
+        ]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Rows-only driver check: sampled-frame accounting per video."""
+    frames = sample_video_frames(video_table(spark), stride=5)
+    return frames.groupBy("media_id", "status").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.round(F.max("t_sec"), 3).alias("last_t_sec"),
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     """Rows-only driver check over the fixture media table (byte-header
     parsing; pinned by tests/test_ops_multimodal.py)."""
@@ -172,5 +274,8 @@ def q_media_metadata(spark, sf_dir):
     )
 
 
-QUERIES = {"media_metadata": q_media_metadata}
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_video_frame_sample": q_video_frame_sample,
+}
 ORACLES: dict[str, str] = {}

@@ -74,3 +74,31 @@ def stream_hourly_counts(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming exact dedup on the content digest, state bounded by the
+    watermark.
+
+    An unbounded ``dropDuplicates`` keeps every digest in state forever —
+    at 10^12 documents that is the state-store OOM.  The scale-correct
+    contract is ``dropDuplicatesWithinWatermark``: exact within the
+    lateness window (duplicates in a crawl arrive close together), with
+    re-ingests beyond the window handled idempotently by the batch digest
+    dedup (ops/dedup.q_exact_dedup) downstream.  Emits the first-seen row
+    per digest."""
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return (
+        stream.select("url", "warc_ts", F.md5(F.col("html")).alias("digest"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -44,3 +44,36 @@ def test_image_features_batch_shape(spark):
         assert len(r["feature"]) == 16
         assert abs(sum(r["feature"]) - 1.0) < 1e-5  # normalised histogram
         assert max(r["out_width"], r["out_height"]) <= 32
+
+
+def test_video_frame_sampling(spark):
+    from archvisier_spark.ops.multimodal import (
+        build_svid,
+        sample_video_frames,
+        video_table,
+    )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # deterministic single video: 24 fps, 17 frames, stride 5 → frames 0,5,10,15
+    blob = build_svid(24, 17, 128, seed=3)
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ])
+    df = spark.createDataFrame(pd.DataFrame([{"media_id": 1, "blob": blob}]), schema=schema)
+    rows = sorted(sample_video_frames(df, stride=5).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 5, 10, 15]
+    assert all(r["frame_bytes"] == 128 for r in rows)
+    assert rows[1]["t_sec"] == 5 / 24
+    # frame hashes are content-derived and distinct for distinct frames
+    assert len({r["frame_hash"] for r in rows}) == 4
+    # determinism
+    rows2 = sorted(sample_video_frames(df, stride=5).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_hash"] for r in rows2] == [r["frame_hash"] for r in rows]
+
+    # planted junk rows become error rows, never failures
+    all_rows = sample_video_frames(video_table(spark, n=10), stride=5).collect()
+    statuses = {r["media_id"]: r["status"] for r in all_rows if r["status"] != "ok"}
+    assert statuses.get(4) == "not a video container"
+    assert statuses.get(9) == "not a video container"

@@ -72,3 +72,51 @@ def test_stream_hourly_counts_equals_batch(spark, tmp_path):
         for r in q_hourly_counts(spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    """Watermarked streaming dedup ≡ batch first-per-digest on a bounded
+    replay with planted exact duplicates."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from archvisier_spark.streaming.stream_extract import stream_dedup
+
+    base = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        payload = f"payload-{i % 20}".encode()  # every payload ×3
+        rows.append(
+            {
+                "url": f"u{i:03d}",
+                "warc_ts": base + datetime.timedelta(seconds=i),
+                "html": payload,
+                "text": payload.decode(),
+                "lang": "en",
+            }
+        )
+    src = str(tmp_path / "dupsrc")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    _run_to_memory(
+        stream_dedup(spark, src, watermark="1 hour"),
+        "dedup_stream",
+        str(tmp_path / "ck_dedup"),
+    )
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    digests = [r["digest"] for r in got]
+    assert len(digests) == 20                      # one survivor per payload
+    assert len(set(digests)) == 20
+    # survivors carry valid source rows
+    batch_digests = {
+        r["digest"]
+        for r in spark.read.parquet(src)
+        .select(F.md5("html").alias("digest"))
+        .distinct()
+        .collect()
+    }
+    assert set(digests) == batch_digests
