@@ -194,8 +194,16 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     the driver gets a full rows+schema+hash check on the scale path.
     """
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
-    sh = docs.select("doc_id", shingle_col("text").alias("sh"))
+    # Pin the sketch and shingle tables: the banded self-join and the
+    # two-sided verify join would otherwise recompute the 32-lane hashing
+    # once per side (3× total).  On a cluster these ARE materialized index
+    # tables (write once, join many) — localCheckpoint is the local-mode
+    # equivalent; both are narrow row-per-doc slices, never the corpus.
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs)
+    sh = docs.select("doc_id", shingle_col("text").alias("sh")).localCheckpoint(
+        eager=True
+    )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
