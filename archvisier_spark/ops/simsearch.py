@@ -361,6 +361,56 @@ WHERE a.vec_id < 600 AND b.vec_id < 600
 """
 
 
+def _ann_oracle_sql(seed: int = 42) -> str:
+    """DuckDB oracle for q_ann_lsh_topk, generated from the SAME seeded
+    planes: per-band sign-of-projection signatures as literal-array dot
+    products, bucket join, exact cosine top-k.  Sign decisions are only
+    float-order-sensitive at dot ≈ 0, which this (deterministic) corpus
+    does not hit — verified by the driver's value-hash match."""
+    planes = _planes(seed)
+    per_band = len(planes) // LSH_BANDS
+
+    def arr(vec):
+        return "[" + ", ".join(repr(v) for v in vec) + "]"
+
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {arr(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes[b * per_band: (b + 1) * per_band])
+        )
+        band_exprs.append(f"({bits}) AS sig{b}")
+    sig_cols = ",\n         ".join(band_exprs)
+    union_bands = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, sig{b} AS band_sig FROM signed"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH signed AS (
+  SELECT vec_id, embedding,
+         {sig_cols}
+  FROM embeddings
+),
+banded AS ({union_bands}),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM banded q JOIN banded c
+    ON q.band_id = c.band_id AND q.band_sig = c.band_sig
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, cand_id, rk, round(cos, 4) AS cosine
+FROM (
+  SELECT query_id, cand_id,
+         list_cosine_similarity(qe, ce) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qe, ce) DESC,
+                                     cand_id ASC) AS rk
+  FROM cands
+) WHERE rk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_norm_stats": q_norm_stats,
@@ -373,7 +423,10 @@ QUERIES = {
 ORACLES = {
     "sim_cosine_topk": _COSINE_TOPK_SQL,
     "sim_norm_stats": _NORM_STATS_SQL,
+    # the seeded planes are embedded as literal arrays in generated SQL, so
+    # even the ANN bucketing is value-checked end-to-end
+    "sim_ann_lsh_topk": _ann_oracle_sql(),
     "sim_similar_above_threshold": _SIMILAR_THRESHOLD_SQL,
     "sim_embedding_near_dup": _EMB_NEAR_DUP_SQL,
-    # sim_ann_lsh_topk: seeded-plane bucketing → rows-only driver check
+    # sim_ivf_topk: centroids derive from a training pass → rows-only
 }
