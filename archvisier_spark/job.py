@@ -37,17 +37,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--n-chunks", type=int, default=64)
     p.add_argument("--max-chunks-per-run", type=int, default=None)
-    p.add_argument("--language", default="auto")
+    p.add_argument("--language", default=None,
+                   help="OCR language (default: config file's ocr_language, or auto)")
     p.add_argument("--work-mode", default="KP")
+    p.add_argument("--config", default=None,
+                   help="config.json path (S11: reference-compatible keys incl. "
+                        "ocr_language/ocr_psm/ocr_oem; odd-kernel coercion applied)")
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     p.add_argument("--finalize", action="store_true",
                    help="after all chunks complete, write numbered+named output")
     args = p.parse_args(argv)
 
+    from archvisier_spark.kernel.config import load_settings
     from archvisier_spark.session import get_spark
     from archvisier_spark.corpus import corpus_df
     from archvisier_spark.pipeline.lineage import (
         completed_chunks, finalize_names, lineage_report, run_resumable,
+    )
+
+    settings = load_settings(args.config)
+    # CLI --language overrides the config file; neither → "auto" (the
+    # two-pass per-page decision, kernel.document.ocr_page_auto)
+    language = args.language or (
+        settings.ocr_language if args.config else "auto"
     )
 
     spark = get_spark(master=args.master, app_name="archvisier_extract")
@@ -64,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         args.checkpoint,
         n_chunks=args.n_chunks,
         max_chunks_per_run=args.max_chunks_per_run,
-        language=args.language,
+        language=language,
         work_mode=args.work_mode,
     )
     done = completed_chunks(spark, args.checkpoint)
