@@ -25,9 +25,14 @@ from archvisier_spark.kernel.naming import (  # noqa: F401
 from archvisier_spark.kernel.similarity import (  # noqa: F401
     cosine_similarity,
     fuzzy_similarity,
+    fuzzy_similarity_chain,
+    jaro_winkler,
     levenshtein,
+    levenshtein_ratio,
     token_similarity,
 )
+from archvisier_spark.kernel.ner import RuleNer  # noqa: F401
+from archvisier_spark.kernel.config import AppSettings, coerce_odd, load_settings  # noqa: F401
 from archvisier_spark.kernel.textfix import correct_text, detect_lang  # noqa: F401
 from archvisier_spark.kernel.spans import (  # noqa: F401
     detect_document_type_span,
