@@ -104,3 +104,62 @@ def test_cascade_is_total_and_schema_stable(text):
         "sygnatura_sprawy", "typ_dokumentu", "status", "colors",
     }
     assert info["status"] in ("OK", "DO UZUPEŁNIENIA")
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_bounds_symmetry_identity(a, b):
+    from archvisier_spark.kernel.similarity import jaro_winkler
+
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0
+    assert jaro_winkler(b, a) == s
+    assert jaro_winkler(a, a) == 1.0
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_levenshtein_ratio_bounds_and_consistency(a, b):
+    from archvisier_spark.kernel.similarity import levenshtein, levenshtein_ratio
+
+    r = levenshtein_ratio(a, b)
+    assert 0.0 <= r <= 1.0
+    assert levenshtein_ratio(b, a) == r
+    # indel distance (sub cost 2) >= plain levenshtein ⇒ the implied
+    # distance bound holds: (1-r)·(|a|+|b|)/2 ≥ ... sanity: equal iff r=1
+    assert (r == 1.0) == (a == b) or (a == b and r == 1.0)
+    if a and b and levenshtein(a, b) == 0:
+        assert r == 1.0
+
+
+@given(st.integers(-5, 40) | st.text(max_size=4), st.integers(2, 15))
+@settings(max_examples=300, deadline=None)
+def test_coerce_odd_always_valid_and_idempotent(value, default):
+    from archvisier_spark.kernel.config import coerce_odd
+
+    v = coerce_odd(value, default)
+    assert v > 1 and v % 2 == 1
+    assert coerce_odd(v, default) == v  # idempotent on valid values
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["DATA", "ORGANIZACJA", "NR_DOKUMENTU"]),
+                  st.text(alphabet="abcde ", min_size=1, max_size=8)),
+        min_size=1, max_size=5,
+    ),
+    st.text(alphabet="abcde \n", max_size=80),
+)
+@settings(max_examples=300, deadline=None)
+def test_rule_ner_entities_never_overlap_and_are_sorted(patterns, text):
+    from archvisier_spark.kernel.ner import RuleNer
+
+    pats = [(l, p) for l, p in patterns if p.strip()]
+    if not pats:
+        return
+    ents = RuleNer(pats).ents(text)
+    for i, (s, e, _l, surface) in enumerate(ents):
+        assert 0 <= s < e <= len(text)
+        assert text[s:e] == surface
+        if i:
+            assert ents[i - 1][1] <= s  # sorted and non-overlapping
