@@ -64,3 +64,25 @@ def quality_score(metadata: Mapping) -> float:
     """Fraction of the five metadata fields that are non-empty."""
     filled = sum(1 for k in METADATA_KEYS if metadata.get(k))
     return filled / len(METADATA_KEYS)
+
+
+def llm_tier_from_raw(generate_fn):
+    """Compose a cascade step-4 ``llm_tier`` from a raw text generator:
+    generation → X16 repair/parse → X17 validation gate; unparseable or
+    invalid output → ``{}`` (the step is skipped), mirroring ml_helper's
+    None-on-failure contract (ml_helper.py:276-309).
+
+    Reference quirk, preserved deliberately: X16's repair renames
+    ``temat`` → ``w_sprawie`` (ml_helper.py:286-287) while the worker
+    merge reads the RAW ``temat`` key (processing_worker.py:284) — so a
+    subject arriving through this repaired path never fills ``w_sprawie``
+    (and is not duplicated as an extra, since ``w_sprawie`` is a core
+    key).  Pinned by tests/test_llm_tier.py."""
+
+    def tier(text: str, filename: str) -> dict:
+        meta = repair_and_parse_json(generate_fn(text, filename) or "")
+        if meta is None or not validate_metadata(meta):
+            return {}
+        return meta
+
+    return tier

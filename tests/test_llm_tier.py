@@ -81,3 +81,54 @@ def test_pipeline_extra_map_column(spark):
     plain = extract_documents(docs).limit(3).collect()
     for r in plain:
         assert dict(r["extra"]) == {}
+
+
+# --- X16/X17 → step-4 composition (llm_tier_from_raw) ---
+
+def test_llm_tier_from_raw_repairs_and_merges():
+    from archvisier_spark.kernel.ml_assist import llm_tier_from_raw
+
+    raw = (
+        'Here is the result:\n```json\n'
+        '{"data": "2024-03-05", "numer_dokumentu": "FV\\q 9/24"}\n```'
+    )  # \q is an invalid escape the X16 repair must strip
+    tier = llm_tier_from_raw(lambda text, fname: raw)
+    info = extract_info_from_text("puste", "a.pdf", "KP",
+                                  smart_tier=None, llm_tier=tier)
+    assert info["data"] == "2024-03-05"
+    assert info["numer_dokumentu"] == "FVq 9/24"
+
+
+def test_llm_tier_from_raw_invalid_date_gates_whole_payload():
+    from archvisier_spark.kernel.ml_assist import llm_tier_from_raw
+
+    tier = llm_tier_from_raw(lambda t, f: '{"data": "05.03.2024"}')  # not ISO
+    info = extract_info_from_text("puste", "a.pdf", "KP",
+                                  smart_tier=None, llm_tier=tier)
+    assert info["data"] == ""  # X17 rejects → step skipped
+
+
+def test_temat_repair_quirk_preserved():
+    """X16 renames temat→w_sprawie; the worker merge reads raw 'temat'
+    (processing_worker.py:284) — so the repaired path never fills
+    w_sprawie.  Reference behaviour, pinned."""
+    from archvisier_spark.kernel.ml_assist import llm_tier_from_raw
+
+    tier = llm_tier_from_raw(lambda t, f: '{"temat": "dostawa sprzętu"}')
+    info = extract_info_from_text("puste", "a.pdf", "KP",
+                                  smart_tier=None, llm_tier=tier)
+    assert info["w_sprawie"] == ""          # not filled through repair
+    assert "temat" not in info
+    # the RAW-dict path (no repair) does fill it — the worker contract
+    info2 = extract_info_from_text("puste", "a.pdf", "KP", smart_tier=None,
+                                   llm_tier=lambda t, f: {"temat": "dostawa"})
+    assert info2["w_sprawie"] == "dostawa"
+
+
+def test_llm_tier_from_raw_garbage_is_skipped():
+    from archvisier_spark.kernel.ml_assist import llm_tier_from_raw
+
+    tier = llm_tier_from_raw(lambda t, f: "no json here at all")
+    info = extract_info_from_text("Numer dokumentu: B-7", "a.pdf", "KP",
+                                  smart_tier=None, llm_tier=tier)
+    assert info["numer_dokumentu"] == "B-7"
