@@ -52,3 +52,63 @@ def test_x2_native_cascade_matches_kernel(spark):
 def test_aqe_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_salted_collect_equals_direct(spark):
+    """90%-hot-key frame: salted two-phase collect_list ≡ direct sorted
+    collect_list, while no phase-1 task holds more than ~1/n_salts of the
+    hot key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from archvisier_spark.functions.skew import salted_collect_sorted
+
+    rows = [{"k": "hot" if i % 10 else f"cold{i}", "v": f"v{i:05d}"} for i in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+    got = {
+        r["k"]: list(r["values"])
+        for r in salted_collect_sorted(df, "k", "v", n_salts=16).collect()
+    }
+    want = {
+        r["k"]: list(r["values"])
+        for r in df.groupBy("k").agg(
+            F.array_sort(F.collect_list("v")).alias("values")
+        ).collect()
+    }
+    assert got == want
+    assert len(got["hot"]) == 1800
+
+    # phase-1 bound: per-(key,salt) partial sizes stay ~1/16 of the hot key
+    from archvisier_spark.functions.skew import _salt_col
+    partial_sizes = (
+        df.withColumn("__salt", _salt_col(df, 16, ["v"]))
+        .filter(F.col("k") == "hot")
+        .groupBy("__salt").count().collect()
+    )
+    assert max(r["count"] for r in partial_sizes) < 1800 / 4
+
+
+def test_salted_join_equals_plain_join(spark):
+    import pandas as pd
+
+    from archvisier_spark.functions.skew import salted_join
+
+    facts = spark.createDataFrame(pd.DataFrame([
+        {"k": "hot" if i % 20 else f"c{i}", "payload": f"p{i}"} for i in range(1000)
+    ]))
+    dim = spark.createDataFrame(pd.DataFrame([
+        {"k": k, "attr": f"attr_{k}"}
+        for k in ["hot"] + [f"c{i}" for i in range(0, 1000, 20)]
+    ]))
+
+    got = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in salted_join(facts, dim, "k", n_salts=8).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in facts.join(dim, "k").collect()
+    )
+    assert got == want
+    assert len(got) == 1000
