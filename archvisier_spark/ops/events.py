@@ -86,6 +86,58 @@ GROUP BY user_id
 """
 
 
+# --- rolling window frames (§2.9 beyond the default spec) ---
+
+def q_rolling_value(spark, sf_dir):
+    """Per-user rolling 3-event average (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — explicit frame specs, the window shape event-stream
+    feature pipelines need."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg3"),
+        F.count("*").over(w).alias("window_n"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_avg3,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window_n
+FROM events WHERE user_id < 20
+"""
+
+
+# --- exact distinct counting (dedup accounting tier) ---
+
+def q_distinct_users(spark, sf_dir):
+    """Exact per-type distinct-user counts — countDistinct expands to the
+    two-shuffle exact plan (distinct on (type, user) then count), the
+    accounting shape dedup reports need."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_distinct_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # --- A8 error collection: errors are rows, never failures ---
 
 def q_error_rates(spark, sf_dir):
@@ -106,6 +158,8 @@ QUERIES = {
     "events_hourly_counts": q_hourly_counts,
     "events_retention_last3": q_retention_last3,
     "events_argmax_event": q_argmax_event,
+    "events_rolling_avg": q_rolling_value,
+    "events_distinct_users": q_distinct_users,
     "events_error_rates": q_error_rates,
 }
 
@@ -113,5 +167,7 @@ ORACLES = {
     "events_hourly_counts": _HOURLY_SQL,
     "events_retention_last3": _RETENTION_SQL,
     "events_argmax_event": _ARGMAX_SQL,
+    "events_rolling_avg": _ROLLING_SQL,
+    "events_distinct_users": _DISTINCT_USERS_SQL,
     "events_error_rates": _ERROR_RATES_SQL,
 }
