@@ -117,3 +117,68 @@ def test_token_similarity_byte_identical_to_compiled_c(tmp_path):
         a, b = mk(), mk()
         want = round(lib.token_similarity(a.encode(), b.encode()), 6)
         assert abs(want - token_similarity(a, b)) <= 1e-9, (repr(a), repr(b))
+
+
+def test_full_cascade_byte_identical_with_live_ner():
+    """X8 against the ACTUAL reference worker (processing_worker.
+    extract_info_from_text) — blank model, RuleNer-equipped model, and
+    the sygnatura-override interaction, all byte-identical.  Uses the
+    reference's own test stubs for its optional heavy imports."""
+    sys.path.insert(0, str(REF / "tests" / "stubs"))
+    sys.path.insert(0, str(REF / "2_Aplikacja_Glowna"))
+    sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "gui"))
+    sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "SmartExtractor"))
+    import importlib
+
+    pw = importlib.import_module("processing_worker")
+    from smart_extractor import SmartExtractor
+
+    from archvisier_spark.kernel.cascade import extract_info_from_text
+    from archvisier_spark.kernel.ner import RuleNer
+    from archvisier_spark.kernel.smart import smart_extract_info
+
+    class FakeEnt:
+        def __init__(self, label, text):
+            self.label_ = label
+            self.text = text
+
+    class FakeDoc:
+        def __init__(self, ents):
+            self.ents = ents
+
+    class FakeNlp:
+        def __init__(self, ruler):
+            self.ruler = ruler
+
+        def __call__(self, text):
+            ents = self.ruler.ents(text) if self.ruler else []
+            return FakeDoc([FakeEnt(l, s) for (_a, _b, l, s) in ents])
+
+    ruler = RuleNer([
+        ("DATA", "June 15, 2024"), ("ORGANIZACJA", "MINISTERSTWO"),
+        ("NR_DOKUMENTU", "123"), ("TYP_DOKUMENTU", "Minutes"),
+        ("SYGNATURA_SPRAWY", "VII K 123/20"),
+    ])
+    orig_nlp, orig_smart = pw.get_nlp_model, pw.get_smart_extractor
+    try:
+        for use_ruler, override, seed in [(None, "", 11), (ruler, "", 12),
+                                          (ruler, "II C 1/20", 13)]:
+            fake = FakeNlp(use_ruler)
+            pw.get_nlp_model = lambda f=fake: f
+            pw.get_smart_extractor = lambda f=fake: SmartExtractor(nlp_model=f)
+            provider = use_ruler
+            smart_tier = (
+                (lambda t, p=provider: smart_extract_info(t, entity_provider=p))
+                if provider else smart_extract_info
+            )
+            rng = random.Random(seed)
+            for _ in range(1200):
+                text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 12)))
+                a = pw.extract_info_from_text(text, "f.pdf", "KP", override)
+                b = extract_info_from_text(
+                    text, "f.pdf", "KP", override,
+                    entity_provider=provider, smart_tier=smart_tier,
+                )
+                assert dict(a) == dict(b), repr(text)
+    finally:
+        pw.get_nlp_model, pw.get_smart_extractor = orig_nlp, orig_smart
