@@ -182,3 +182,43 @@ def test_full_cascade_byte_identical_with_live_ner():
                 assert dict(a) == dict(b), repr(text)
     finally:
         pw.get_nlp_model, pw.get_smart_extractor = orig_nlp, orig_smart
+
+
+def test_naming_and_repair_byte_identical():
+    """X13/X14 naming (incl. counter state) and X9 word repair vs the
+    actual reference functions."""
+    sys.path.insert(0, str(REF / "tests" / "stubs"))
+    sys.path.insert(0, str(REF / "2_Aplikacja_Glowna"))
+    sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "gui"))
+    import importlib
+
+    pw = importlib.import_module("processing_worker")
+    ocr = importlib.import_module("processing.ocr")
+
+    from archvisier_spark.kernel.naming import generate_new_filename
+    from archvisier_spark.kernel.textfix import correct_text
+
+    rng = random.Random(3)
+    fields = ["sygnatura_sprawy", "numer_dokumentu", "nadawca_odbiorca",
+              "typ_dokumentu", "w_sprawie"]
+    vals = ["", "VII K 123/20", "ABC 1/24?", 'x*y:"z"',
+            "Ministerstwo Finansów i Spraw", "umowa o dzieło", "a" * 60,
+            "sp. z o.o.", "<tag>|pipe"]
+    c_ref: dict = {}
+    c_mine: dict = {}
+    for _ in range(1500):
+        info = {f: rng.choice(vals) for f in fields}
+        mode = rng.choice(["KP", "KW", "SA", ""])
+        assert pw.generate_new_filename(dict(info), mode, c_ref) == \
+            generate_new_filename(dict(info), mode, c_mine), info
+    assert c_ref == c_mine
+
+    words = ["umowa", "umowy", "dokument", "faktura", "the", "and", "xyzzy",
+             "umowaa", "dokumect", "annd", "q", ""]
+    for _ in range(1000):
+        text = "".join(
+            rng.choice(words) + rng.choice([" ", ", ", ".", "\n", "-"])
+            for _ in range(rng.randint(0, 10))
+        )
+        lang = rng.choice(["pol", "eng"])
+        assert ocr.correct_text(text, lang) == correct_text(text, lang), repr(text)
