@@ -65,6 +65,13 @@ _TYPE_PATTERNS: list[tuple[str, re.Pattern[str], str]] = [
     for kw, doc_type in DOCUMENT_TYPES.items()
 ]
 
+# Cheap C-speed pre-gates: every pattern match IMPLIES its gate literal is
+# present (case-insensitively), so gating skips regex scans without ever
+# changing a result — the same trick find_document_type uses.  Profiling
+# shows re.Pattern.search is ~36% of per-document kernel time, dominated
+# by extractors whose keywords are absent from most documents.
+_HAS_DIGIT = re.compile(r"[0-9]")
+
 # Ordered date patterns — smart_extractor.py:84-90.
 _DATE_PATTERNS: tuple[re.Pattern[str], ...] = (
     re.compile(r"\b(\d{4})[/\.\-](\d{1,2})[/\.\-](\d{1,2})\b"),
@@ -98,14 +105,21 @@ _MONTHS: dict[str, int] = {
     "october": 10, "november": 11, "december": 12,
 }
 
-# Ordered document-number patterns — smart_extractor.py:93-100.
-_NUMBER_PATTERNS: tuple[re.Pattern[str], ...] = (
-    re.compile(r"\b(?:nr|numer|znak|sygn\.?|l\.dz\.?)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
-    re.compile(r"\b(?:no\.|number)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
-    re.compile(r"\bFV[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
-    re.compile(r"\bfaktura[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
-    re.compile(r"\binvoice[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
-    re.compile(r"\bumowa[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE),
+# Ordered document-number patterns — smart_extractor.py:93-100 — paired
+# with their keyword gates (any match contains one of the gate literals).
+_NUMBER_PATTERNS: tuple[tuple[tuple[str, ...], re.Pattern[str]], ...] = (
+    (("nr", "numer", "znak", "sygn", "l.dz"),
+     re.compile(r"\b(?:nr|numer|znak|sygn\.?|l\.dz\.?)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
+    (("no.", "number"),
+     re.compile(r"\b(?:no\.|number)[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
+    (("fv",),
+     re.compile(r"\bFV[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
+    (("faktura",),
+     re.compile(r"\bfaktura[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
+    (("invoice",),
+     re.compile(r"\binvoice[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
+    (("umowa",),
+     re.compile(r"\bumowa[ :]*(?:nr|numer|no\.|number)?[ :]*([A-Za-z0-9\.\-/]+)\b", re.IGNORECASE)),
 )
 
 # Court case signature patterns — smart_extractor.py:103-106 (X4).  Present
@@ -117,19 +131,29 @@ _SIGNATURE_PATTERNS: tuple[re.Pattern[str], ...] = (
 )
 
 # Sender/recipient role patterns — smart_extractor.py:109-115.
-_PARTY_PATTERNS: tuple[re.Pattern[str], ...] = (
-    re.compile(r"(?:od|nadawca|wykonawca|zleceniobiorca|usługodawca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE),
-    re.compile(r"(?:do|odbiorca|zamawiający|zleceniodawca|usługobiorca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE),
-    re.compile(r"\b([A-ZŻŹĆĄŚĘŁÓŃ][A-ZŻŹĆĄŚĘŁÓŃ\s]{2,}(?:SP\.|SP\.\sZ\sO\.O\.|S\.A\.|Z\sO\.O\.))", re.IGNORECASE),
-    re.compile(r"\b((?:spółka|przedsiębiorstwo|firma|zakład|centrum|biuro)[^\n\.]{5,50})", re.IGNORECASE),
+_PARTY_PATTERNS: tuple[tuple[tuple[str, ...], re.Pattern[str]], ...] = (
+    (("od", "nadawca", "wykonawca", "zleceniobiorca", "usługodawca"),
+     re.compile(r"(?:od|nadawca|wykonawca|zleceniobiorca|usługodawca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE)),
+    (("do", "odbiorca", "zamawiający", "zleceniodawca", "usługobiorca"),
+     re.compile(r"(?:do|odbiorca|zamawiający|zleceniodawca|usługobiorca)[:\s]+([A-ZŻŹĆĄŚĘŁÓŃ][^\.]{5,50})", re.IGNORECASE)),
+    (("sp.", "s.a.", "o.o."),
+     re.compile(r"\b([A-ZŻŹĆĄŚĘŁÓŃ][A-ZŻŹĆĄŚĘŁÓŃ\s]{2,}(?:SP\.|SP\.\sZ\sO\.O\.|S\.A\.|Z\sO\.O\.))", re.IGNORECASE)),
+    (("spółka", "przedsiębiorstwo", "firma", "zakład", "centrum", "biuro"),
+     re.compile(r"\b((?:spółka|przedsiębiorstwo|firma|zakład|centrum|biuro)[^\n\.]{5,50})", re.IGNORECASE)),
 )
+_ADDRESS_GATES = ("ul.", "ulica", "al.", "aleja")
 _ADDRESS_PATTERN = re.compile(r"(?:ul\.|ulica|al\.|aleja)[^\n,]{2,30},[^\n]{2,30}\d{2}-\d{3}", re.IGNORECASE)
 
 # Subject patterns — smart_extractor.py:118-122.
-_SUBJECT_PATTERNS: tuple[re.Pattern[str], ...] = (
-    re.compile(r"(?:dotyczy|dot\.|w sprawie|temat|przedmiot|sprawa)[:\s]+([^\n\.]{10,100})", re.IGNORECASE),
-    re.compile(r"(?:sprawa|dot\.):[^\n\.]{5,100}", re.IGNORECASE),
-    re.compile(r"(?:subject|regarding|re)[:\s]+([^\n\.]{5,100})", re.IGNORECASE),
+_SUBJECT_PATTERNS: tuple[tuple[tuple[str, ...], re.Pattern[str]], ...] = (
+    (("dotyczy", "dot.", "w sprawie", "temat", "przedmiot", "sprawa"),
+     re.compile(r"(?:dotyczy|dot\.|w sprawie|temat|przedmiot|sprawa)[:\s]+([^\n\.]{10,100})", re.IGNORECASE)),
+    (("sprawa:", "dot.:"),
+     re.compile(r"(?:sprawa|dot\.):[^\n\.]{5,100}", re.IGNORECASE)),
+    # NB: the gate must cover EVERY alternative ("subject" does not
+    # contain "re"); the 2-char "re" makes this gate weak but still sound
+    (("subject", "regarding", "re"),
+     re.compile(r"(?:subject|regarding|re)[:\s]+([^\n\.]{5,100})", re.IGNORECASE)),
 )
 _SUBJECT_PREFIXES = ("dotyczy:", "dot.:", "w sprawie:", "temat:", "przedmiot:")
 
@@ -171,6 +195,8 @@ def extract_date(text: str) -> str:
     forms resolve the month by a case-sensitive substring probe of the
     matched fragment; an unresolved month falls through to the next pattern.
     """
+    if not _HAS_DIGIT.search(text):
+        return ""  # every date pattern requires digits — gate, not semantics
     for pattern in _DATE_PATTERNS:
         m = pattern.search(text)
         if not m:
@@ -191,7 +217,10 @@ def extract_date(text: str) -> str:
 
 def extract_document_number(text: str) -> str:
     """Document-number extraction (X3, smart_extractor.py:178-184)."""
-    for pattern in _NUMBER_PATTERNS:
+    low = text.lower()
+    for gates, pattern in _NUMBER_PATTERNS:
+        if not any(g in low for g in gates):
+            continue
         m = pattern.search(text)
         if m:
             return m.group(1).strip()
@@ -200,7 +229,15 @@ def extract_document_number(text: str) -> str:
 
 def extract_court_signature(text: str) -> str:
     """Court-signature extraction (X4, smart_extractor.py:103-106)."""
-    for pattern in _SIGNATURE_PATTERNS:
+    low = text.lower()
+    has_digit = _HAS_DIGIT.search(text) is not None
+    for i, pattern in enumerate(_SIGNATURE_PATTERNS):
+        # gates: pattern 1 requires the literal "sygn"; pattern 2 requires
+        # digits — implied by any match, so skipping cannot change results
+        if i == 0 and "sygn" not in low:
+            continue
+        if i == 1 and not has_digit:
+            continue
         m = pattern.search(text)
         if m:
             return m.group(1).strip()
@@ -214,11 +251,18 @@ def extract_sender_recipient(text: str) -> str:
     address and return the non-empty line immediately above it when its
     length is in (3, 60).
     """
-    for pattern in _PARTY_PATTERNS:
+    low = text.lower()
+    for gates, pattern in _PARTY_PATTERNS:
+        if not any(g in low for g in gates):
+            continue
         m = pattern.search(text)
         if m:
             return m.group(1).strip()
-    addr = _ADDRESS_PATTERN.search(text)
+    addr = (
+        _ADDRESS_PATTERN.search(text)
+        if any(g in low for g in _ADDRESS_GATES) and _HAS_DIGIT.search(text)
+        else None
+    )
     if addr:
         lines = text[: addr.start()].strip().split("\n")
         if lines:
@@ -242,7 +286,10 @@ def extract_subject(text: str, doc_type: str | None = None) -> str:
     (a pure function of ``text``) so composed callers scan the keyword
     table once instead of three times.
     """
-    for pattern in _SUBJECT_PATTERNS:
+    low = text.lower()
+    for gates, pattern in _SUBJECT_PATTERNS:
+        if not any(g in low for g in gates):
+            continue
         m = pattern.search(text)
         if m:
             subject = m.group(0)
