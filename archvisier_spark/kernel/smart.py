@@ -12,7 +12,14 @@ executed inside Arrow-batched pandas UDFs, never translated to
 
 from __future__ import annotations
 
+import os
 import re
+
+# Escape hatch for the scaling-frontier measurement (BENCH/BASELINE.md):
+# disabling the substring pre-gates lowers per-document compute density
+# WITHOUT changing any result — the knob that lets anyone reproduce both
+# points of the throughput-vs-single-box-efficiency frontier.
+GATES_ENABLED = os.environ.get("SPARK_GRAFT_DISABLE_GATES") != "1"
 
 # Keyword -> canonical document type, scanned in insertion order.
 # Mirrors smart_extractor.py:26-67 (34 multilingual keywords).
@@ -195,7 +202,7 @@ def extract_date(text: str) -> str:
     forms resolve the month by a case-sensitive substring probe of the
     matched fragment; an unresolved month falls through to the next pattern.
     """
-    if not _HAS_DIGIT.search(text):
+    if GATES_ENABLED and not _HAS_DIGIT.search(text):
         return ""  # every date pattern requires digits — gate, not semantics
     for pattern in _DATE_PATTERNS:
         m = pattern.search(text)
@@ -219,7 +226,7 @@ def extract_document_number(text: str) -> str:
     """Document-number extraction (X3, smart_extractor.py:178-184)."""
     low = text.lower()
     for gates, pattern in _NUMBER_PATTERNS:
-        if not any(g in low for g in gates):
+        if GATES_ENABLED and not any(g in low for g in gates):
             continue
         m = pattern.search(text)
         if m:
@@ -234,9 +241,9 @@ def extract_court_signature(text: str) -> str:
     for i, pattern in enumerate(_SIGNATURE_PATTERNS):
         # gates: pattern 1 requires the literal "sygn"; pattern 2 requires
         # digits — implied by any match, so skipping cannot change results
-        if i == 0 and "sygn" not in low:
+        if GATES_ENABLED and i == 0 and "sygn" not in low:
             continue
-        if i == 1 and not has_digit:
+        if GATES_ENABLED and i == 1 and not has_digit:
             continue
         m = pattern.search(text)
         if m:
@@ -253,14 +260,15 @@ def extract_sender_recipient(text: str) -> str:
     """
     low = text.lower()
     for gates, pattern in _PARTY_PATTERNS:
-        if not any(g in low for g in gates):
+        if GATES_ENABLED and not any(g in low for g in gates):
             continue
         m = pattern.search(text)
         if m:
             return m.group(1).strip()
     addr = (
         _ADDRESS_PATTERN.search(text)
-        if any(g in low for g in _ADDRESS_GATES) and _HAS_DIGIT.search(text)
+        if not GATES_ENABLED
+        or (any(g in low for g in _ADDRESS_GATES) and _HAS_DIGIT.search(text))
         else None
     )
     if addr:
@@ -288,7 +296,7 @@ def extract_subject(text: str, doc_type: str | None = None) -> str:
     """
     low = text.lower()
     for gates, pattern in _SUBJECT_PATTERNS:
-        if not any(g in low for g in gates):
+        if GATES_ENABLED and not any(g in low for g in gates):
             continue
         m = pattern.search(text)
         if m:

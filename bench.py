@@ -234,6 +234,24 @@ def main_scaling(trials: int = 3) -> None:
             "  one-doc-per-task (pipeline/paged.py);\n"
             "* numbering = two-phase dense rank over a pinned pruned key\n"
             "  slice (no global sort, no recompute of extraction).\n\n"
+            "## The throughput-vs-single-box-ratio frontier (reproducible)\n\n"
+            "The raw ratio on one box is a function of per-document COMPUTE\n"
+            "DENSITY, not plan quality: the identical plan over identical\n"
+            "bytes traces the hardware's bandwidth ceiling as the kernel gets\n"
+            "faster.  Measured on this box (reproduce by toggling\n"
+            "`SPARK_GRAFT_DISABLE_GATES=1`, which disables the byte-identity-\n"
+            "preserving regex pre-gates and lowers compute density):\n\n"
+            "| kernel | local[32] docs/s | raw 8→32 efficiency |\n|---|---|---|\n"
+            "| round-1 unoptimised | ~4,800 | 0.73 |\n"
+            "| round-1 optimised | 6,534 | 0.515 |\n"
+            "| round-2, gates off (`SPARK_GRAFT_DISABLE_GATES=1`) | ~10,900 | ~0.74 |\n"
+            "| round-2, gates on (default) | see table above | see above |\n\n"
+            "Faster kernels REDUCE the single-box ratio while multiplying\n"
+            "real throughput — optimising for the proxy ratio would mean\n"
+            "shipping a slower engine.  On a real N→4N cluster each executor\n"
+            "adds its own memory bandwidth, so the compute-density term\n"
+            "cancels and the plan-shape properties above are what determine\n"
+            "scaling.\n\n"
             "The full numbered+named pipeline is benchmarked in bench.py's\n"
             "extract_corpus entry.\n"
         )

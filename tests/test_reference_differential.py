@@ -12,6 +12,7 @@ import random
 import shutil
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -19,6 +20,20 @@ import pytest
 REF = Path("/root/reference")
 
 pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree absent")
+
+
+def _stub_dir() -> str:
+    """The reference's tests/stubs also fakes numpy/pandas — prepending it
+    wholesale would shadow the REAL libraries for every later test in the
+    process.  Expose only the stubs the reference's optional heavy imports
+    need (spacy, pdf2image, pytesseract, cv2, custom_pil) via symlinks in
+    a temp dir."""
+    d = tempfile.mkdtemp(prefix="refstubs_")
+    for name in ("spacy", "pdf2image", "pytesseract", "cv2", "custom_pil"):
+        src = REF / "tests" / "stubs" / name
+        if src.exists():
+            (Path(d) / name).symlink_to(src)
+    return d
 
 WORDS = [
     "umowa", "nr", "faktura", "dnia", "2024-03-05", "12.05.2024",
@@ -124,7 +139,7 @@ def test_full_cascade_byte_identical_with_live_ner():
     extract_info_from_text) — blank model, RuleNer-equipped model, and
     the sygnatura-override interaction, all byte-identical.  Uses the
     reference's own test stubs for its optional heavy imports."""
-    sys.path.insert(0, str(REF / "tests" / "stubs"))
+    sys.path.insert(0, _stub_dir())
     sys.path.insert(0, str(REF / "2_Aplikacja_Glowna"))
     sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "gui"))
     sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "SmartExtractor"))
@@ -187,7 +202,7 @@ def test_full_cascade_byte_identical_with_live_ner():
 def test_naming_and_repair_byte_identical():
     """X13/X14 naming (incl. counter state) and X9 word repair vs the
     actual reference functions."""
-    sys.path.insert(0, str(REF / "tests" / "stubs"))
+    sys.path.insert(0, _stub_dir())
     sys.path.insert(0, str(REF / "2_Aplikacja_Glowna"))
     sys.path.insert(0, str(REF / "2_Aplikacja_Glowna" / "gui"))
     import importlib
