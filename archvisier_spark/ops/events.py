@@ -138,6 +138,37 @@ FROM events GROUP BY event_type
 """
 
 
+# --- semi-structured props: JSON parse + aggregate (X16 scale analog) ---
+
+def q_props_json(spark, sf_dir):
+    """Parse the JSON ``props`` column with the native ``from_json``
+    (schema-on-read over semi-structured payloads — the scale analog of
+    the X16 JSON plumbing) and aggregate the extracted field."""
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+    )
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type,
+       count(k) AS n_parsed,
+       sum(k)::BIGINT AS k_sum,
+       round(avg(k), 4) AS k_avg
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 # --- A8 error collection: errors are rows, never failures ---
 
 def q_error_rates(spark, sf_dir):
@@ -160,10 +191,12 @@ QUERIES = {
     "events_argmax_event": q_argmax_event,
     "events_rolling_avg": q_rolling_value,
     "events_distinct_users": q_distinct_users,
+    "events_props_json": q_props_json,
     "events_error_rates": q_error_rates,
 }
 
 ORACLES = {
+    "events_props_json": _PROPS_JSON_SQL,
     "events_hourly_counts": _HOURLY_SQL,
     "events_retention_last3": _RETENTION_SQL,
     "events_argmax_event": _ARGMAX_SQL,
