@@ -87,12 +87,131 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
-def html_blocks(html: str) -> list[tuple[str, int]]:
-    """Parse ``html`` into (raw_text, link_chars) block tuples."""
+def html_blocks_stdlib(html: str) -> list[tuple[str, int]]:
+    """Parse ``html`` into (raw_text, link_chars) block tuples via the
+    stdlib HTMLParser — the correctness oracle for the fast tokenizer."""
     collector = _BlockCollector()
     collector.feed(html)
     collector.close()
     return collector.blocks
+
+
+# --- fast tokenizer: one C-speed regex pass over the markup ---
+
+import re as _re
+from html import unescape as _unescape
+
+# A tag token: comment | declaration/PI | name with optionally-quoted
+# attribute values (quoted values may contain '>' — the ambiguity a naive
+# <[^>]*> splitter gets wrong).
+_TAG_RE = _re.compile(
+    r"""<(?:
+        !--.*?--\s*>              # comment
+      | !\[CDATA\[.*?\]\]>        # CDATA section
+      | [!?][^>]*>                # doctype / processing instruction
+      | /?[a-zA-Z][^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>
+    )""",
+    _re.DOTALL | _re.VERBOSE,
+)
+_NAME_RE = _re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# stdlib HTMLParser enters CDATA mode for these: everything until the
+# matching close tag is raw text, markup inside is NOT parsed
+_CDATA_TAGS = ("script", "style")
+_AMP = "&"
+
+
+def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
+    """Single-regex-pass block tokenizer, byte-equal to the stdlib path on
+    well-formed markup (pinned by a differential fuzz test).  Returns
+    ``None`` when it meets markup it cannot token-split with certainty
+    (an unterminated tag at EOF) — callers fall back to the oracle."""
+    blocks: list[tuple[str, int]] = []
+    buf: list[str] = []
+    link_chars = 0
+    a_depth = 0
+    ignore_depth = 0
+
+    def flush() -> None:
+        nonlocal buf, link_chars
+        text = "".join(buf)
+        if text.strip():
+            blocks.append((text, link_chars))
+        buf = []
+        link_chars = 0
+
+    def emit(data: str) -> None:
+        nonlocal link_chars
+        if ignore_depth or not data:
+            return
+        if _AMP in data:
+            data = _unescape(data)
+        buf.append(data)
+        if a_depth:
+            link_chars += len(data)
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            emit(html[pos:])
+            break
+        if lt > pos:
+            emit(html[pos:lt])
+        m = _TAG_RE.match(html, lt)
+        if not m:
+            nxt = html.find("<", lt + 1)
+            if html[lt + 1: lt + 2].isalpha() or html[lt + 1: lt + 2] in "/!?":
+                # looks like a tag but didn't tokenize (unterminated /
+                # exotic) — bail to the oracle parser
+                return None
+            # bare '<' is character data (stdlib behaviour)
+            emit(html[lt: nxt if nxt != -1 else n])
+            pos = nxt if nxt != -1 else n
+            continue
+        token = m.group(0)
+        pos = m.end()
+        if token.startswith(("<!", "<?")):
+            continue
+        nm = _NAME_RE.match(token)
+        if not nm:
+            continue
+        closing = token.startswith("</")
+        tag = nm.group(1).lower()
+        if not closing and tag in _CDATA_TAGS:
+            # raw-text element: skip straight to its close tag (stdlib
+            # CDATA mode — markup inside is NOT parsed); the close tag is
+            # tokenized on the next loop turn and decrements the depth
+            end = _re.compile(rf"</\s*{tag}", _re.IGNORECASE).search(html, pos)
+            pos = end.start() if end else n
+            ignore_depth += 1  # script/style are both IGNORED_TAGS
+            continue
+        if tag in IGNORED_TAGS:
+            if closing:
+                ignore_depth = max(0, ignore_depth - 1)
+            else:
+                ignore_depth += 1
+            continue
+        if ignore_depth:
+            continue
+        if tag == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            else:
+                a_depth += 1
+        if tag in BLOCK_TAGS:
+            flush()
+    flush()
+    return blocks
+
+
+def html_blocks(html: str) -> list[tuple[str, int]]:
+    """Fast tokenizer with stdlib fallback — identical outputs by
+    construction (differential-fuzzed)."""
+    fast = html_blocks_fast(html)
+    if fast is not None:
+        return fast
+    return html_blocks_stdlib(html)
 
 
 def extract_main_text(

@@ -122,3 +122,55 @@ def test_document_dispatch_html():
 def test_document_dispatch_plain_text():
     text, status, fmt = extract_document_text("zwykły tekst".encode())
     assert (text, status, fmt) == ("zwykły tekst", STATUS_OK, "text")
+
+
+def test_fast_tokenizer_differential_vs_stdlib():
+    """The fast regex tokenizer must block-tokenize EXACTLY like the
+    stdlib HTMLParser path (its correctness oracle) across a grammar that
+    includes quoted-'>'-in-attribute tags, comments containing markup,
+    script/style CDATA with fake tags inside, bare '<' in text, entities,
+    doctypes, and unclosed elements."""
+    import random
+
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    rng = random.Random(123)
+    tags = ["p", "div", "span", "a", "li", "ul", "script", "style", "head",
+            "b", "h1", "table", "td", "br", "svg"]
+    words = ["alpha", "beta", "zażółć", "&amp;", "&lt;x&gt;", "&#65;",
+             "1 < 2", "a > b", "&notaref", "tail"]
+
+    def rand_html(depth=0):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.35 or depth > 3:
+                parts.append(rng.choice(words) + " ")
+            elif r < 0.45:
+                parts.append(f"<!-- comment {rng.randint(0, 9)} <p> -->")
+            elif r < 0.5:
+                parts.append("<!DOCTYPE html>")
+            else:
+                t = rng.choice(tags)
+                attrs = ""
+                ar = rng.random()
+                if ar < 0.3:
+                    attrs = f' href="x{rng.randint(0, 9)}>y" class=\'c\''
+                elif ar < 0.5:
+                    attrs = f" id=v{rng.randint(0, 9)}"
+                inner = "" if t == "br" else rand_html(depth + 1)
+                if t in ("script", "style"):
+                    inner = "if (a<b) { x = '</div>'; } <p>not a tag"
+                closing = f"</{t}>" if t != "br" and rng.random() > 0.1 else ""
+                parts.append(f"<{t}{attrs}>{inner}{closing}")
+        return "".join(parts)
+
+    for _ in range(2000):
+        doc = rand_html()
+        fast = html_blocks_fast(doc)
+        if fast is None:  # explicit fallback is allowed, silent drift is not
+            continue
+        assert fast == html_blocks_stdlib(doc), repr(doc[:200])
