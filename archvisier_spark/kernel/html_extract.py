@@ -117,6 +117,9 @@ _NAME_RE = _re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 # stdlib HTMLParser enters CDATA mode for these: everything until the
 # matching close tag is raw text, markup inside is NOT parsed
 _CDATA_TAGS = ("script", "style")
+_CDATA_CLOSE = {
+    t: _re.compile(rf"</\s*{t}", _re.IGNORECASE) for t in _CDATA_TAGS
+}
 _AMP = "&"
 
 
@@ -182,7 +185,7 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
             # raw-text element: skip straight to its close tag (stdlib
             # CDATA mode — markup inside is NOT parsed); the close tag is
             # tokenized on the next loop turn and decrements the depth
-            end = _re.compile(rf"</\s*{tag}", _re.IGNORECASE).search(html, pos)
+            end = _CDATA_CLOSE[tag].search(html, pos)
             pos = end.start() if end else n
             ignore_depth += 1  # script/style are both IGNORED_TAGS
             continue

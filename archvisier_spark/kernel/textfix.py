@@ -19,6 +19,10 @@ ENGLISH_DICTIONARY: tuple[str, ...] = ("example", "test")
 
 _TOKEN_SPLIT = re.compile(r"(\W+)")
 _POLISH_CHARS = frozenset("ąćęłńóśżź")
+# C-speed form of `any(ch in "ąćęłńóśżź" for ch in text.lower())`: each
+# uppercase variant lowercases 1:1 to its class member, so searching both
+# cases over the ORIGINAL text is value-equal and skips the .lower() copy
+_POLISH_RE = re.compile("[ąćęłńóśżźĄĆĘŁŃÓŚŻŹ]")
 
 # Repair accepts a replacement only at distance ≤ 2, so the argmin over the
 # dictionary only matters for distances ≤ 2 (dictionary words are mutually
@@ -88,14 +92,13 @@ def correct_text(text: str, lang: str) -> str:
     dictionary, anything else English.
     """
     dictionary = POLISH_DICTIONARY if lang == "pol" else ENGLISH_DICTIONARY
-    return "".join(_repair_token(t, dictionary) for t in _TOKEN_SPLIT.split(text))
+    return "".join([_repair_token(t, dictionary) for t in _TOKEN_SPLIT.split(text)])
 
 
 def detect_lang(text: str) -> str:
     """Diacritics heuristic: any of ``ąćęłńóśżź`` → ``pl``, else ``en``
     (processing/ocr.py:66-70)."""
-    lowered = text.lower()
-    return "pl" if any(ch in _POLISH_CHARS for ch in lowered) else "en"
+    return "pl" if _POLISH_RE.search(text) else "en"
 
 
 def tesseract_lang(text: str) -> str:
