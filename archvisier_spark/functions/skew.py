@@ -23,9 +23,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _salt_col(df: DataFrame, n_salts: int, deterministic_from: Sequence[str]):
-    """Deterministic row salt from the given columns (no rand(): retries
-    and resumes must salt identically)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in deterministic_from]), F.lit(n_salts))
+    """Row salt from the given columns plus the input partition id (no
+    rand(): a retried task recomputes the same partition, so salts stay
+    stable within a job).  The partition-id mix matters because hot keys
+    often carry identical / low-cardinality values — hashing the value
+    alone would send the whole hot key back to ONE salt.  With the mix,
+    a hot key spanning P input partitions spreads over ~min(P, n_salts)
+    salts even when every value is identical.  Both salted shapes below
+    are salt-invariant in their OUTPUT (sorted collect / row-level join),
+    so the layout-dependence of partition ids never reaches the result."""
+    cols = [F.col(c) for c in deterministic_from]
+    cols.append(F.spark_partition_id())
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
 
 
 def salted_collect_sorted(
@@ -63,7 +72,11 @@ def salted_join(
     ``salt_from``: fact columns the salt derives from (default: all fact
     columns except the key — any per-row-varying subset works).  Result
     equals ``facts.join(dim, key)`` row-for-row."""
-    fact_cols = salt_from or [c for c in facts.columns if c != key]
+    fact_cols = list(salt_from) if salt_from else [c for c in facts.columns if c != key]
+    if not fact_cols:
+        # key-only facts: salt from the key — the partition-id mix in
+        # _salt_col still spreads a hot key's rows across salts
+        fact_cols = [key]
     salted_facts = facts.withColumn("__salt", _salt_col(facts, n_salts, fact_cols))
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))

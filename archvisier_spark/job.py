@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -55,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
         completed_chunks, finalize_names, lineage_report, run_resumable,
     )
 
+    if args.config is not None and not Path(args.config).exists():
+        # fail fast: a typo'd --config path silently disabling auto
+        # language detection (and every other knob) is worse than a crash
+        p.error(f"--config file not found: {args.config}")
     settings = load_settings(args.config)
     # CLI --language overrides the config file; neither → "auto" (the
     # two-pass per-page decision, kernel.document.ocr_page_auto)

@@ -121,6 +121,24 @@ _CDATA_CLOSE = {
     t: _re.compile(rf"</\s*{t}", _re.IGNORECASE) for t in _CDATA_TAGS
 }
 _AMP = "&"
+_WS_OR_QUOTE = " \t\n\r\f\"'"
+
+
+def _is_startendtag(token: str) -> bool:
+    """Does a tag token ending ``/>`` self-close per stdlib semantics?
+
+    Mirrors ``HTMLParser.parse_starttag``: the trailing ``/`` is a
+    self-close marker (→ ``handle_startendtag``) UNLESS it is absorbed
+    into a preceding *unquoted* attribute value (``<a href=x/>`` parses as
+    a start tag with ``href="x/"``).  The slash stands alone when the run
+    since the last whitespace/quote boundary is the bare tag name, a bare
+    attribute name, or empty — i.e. contains no ``=``.
+    """
+    body = token[1:-2]
+    i = max(body.rfind(ch) for ch in _WS_OR_QUOTE)
+    if i == -1:
+        return True  # '<name/>' — no attributes
+    return "=" not in body[i + 1:]
 
 
 def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
@@ -181,6 +199,20 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
             continue
         closing = token.startswith("</")
         tag = nm.group(1).lower()
+        if token.endswith("/>"):
+            if closing:
+                # '</tag/>' is ambiguous: stdlib treats it as an end tag
+                # outside CDATA mode but as raw DATA inside it — bail to
+                # the oracle rather than replicate that mode split.
+                return None
+            if _is_startendtag(token):
+                # XHTML self-closing tag: stdlib fires start+end
+                # back-to-back (handle_startendtag) and does NOT enter
+                # CDATA mode for script/style — ignore/a depths are
+                # net-unchanged; a block tag flushes once.
+                if not ignore_depth and tag in BLOCK_TAGS:
+                    flush()
+                continue
         if not closing and tag in _CDATA_TAGS:
             # raw-text element: skip straight to its close tag (stdlib
             # CDATA mode — markup inside is NOT parsed); the close tag is

@@ -192,8 +192,14 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
     """Jaro-Winkler with the standard ≤4-char common-prefix boost —
     value-compatible with ``rapidfuzz.distance.JaroWinkler.
     normalized_similarity`` at its default prefix weight 0.1 (the
-    reference's first-choice tier, context_analyzer.py:12-16)."""
+    reference's first-choice tier, context_analyzer.py:12-16).  The
+    Winkler prefix boost applies only when Jaro > 0.7 (the standard
+    boost threshold, matched by rapidfuzz) — without the gate,
+    low-similarity pairs with a common prefix would be inflated into the
+    downstream 0.7 acceptance region."""
     sim = jaro_similarity(a, b)
+    if sim <= 0.7:
+        return sim
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:

@@ -38,12 +38,24 @@ def chunk_id_col(url_col, n_chunks: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_chunks)).cast("int")
 
 
+def _read_checkpoint(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+    """Checkpoint reader tolerant of pre-``run_id`` history: mergeSchema
+    unions old and new parquet footers (a plain read may sample only an
+    old footer and drop the column), and rows appended before the
+    ``run_id`` column existed surface as ``run_id = -1`` — older than any
+    real run, so recency ordering stays correct."""
+    lin = spark.read.option("mergeSchema", "true").parquet(checkpoint_path)
+    if "run_id" not in lin.columns:
+        return lin.withColumn("run_id", F.lit(-1))
+    return lin.withColumn("run_id", F.coalesce(F.col("run_id"), F.lit(-1)))
+
+
 def _next_run_id(spark: SparkSession, checkpoint_path: str) -> int:
     """Monotonic run counter derived from the checkpoint itself — the
     lineage analog of an Iceberg snapshot id, so "latest row per chunk"
     means recency, not max-docs."""
     try:
-        prev = spark.read.parquet(checkpoint_path).agg(F.max("run_id")).collect()[0][0]
+        prev = _read_checkpoint(spark, checkpoint_path).agg(F.max("run_id")).collect()[0][0]
     except Exception:
         return 0
     return (prev if prev is not None else -1) + 1
@@ -53,7 +65,7 @@ def completed_chunks(spark: SparkSession, checkpoint_path: str) -> set[int]:
     """Chunk ids with an ``ok`` lineage row (empty checkpoint → none)."""
     try:
         rows = (
-            spark.read.parquet(checkpoint_path)
+            _read_checkpoint(spark, checkpoint_path)
             .filter(F.col("status") == STATUS_OK)
             .select("chunk_id")
             .distinct()
@@ -139,7 +151,7 @@ def lineage_report(spark: SparkSession, checkpoint_path: str) -> DataFrame:
     """The checkpoint table, latest row per chunk."""
     from pyspark.sql import Window
 
-    lin = spark.read.parquet(checkpoint_path)
+    lin = _read_checkpoint(spark, checkpoint_path)
     # parquet append keeps history; the MOST RECENT row per chunk wins
     # (run_id is the snapshot counter) — a reprocess that legitimately
     # shrinks a chunk's doc count still surfaces as the current state.

@@ -30,3 +30,19 @@ def test_job_cli_synthesize_resume_finalize(tmp_path):
     assert rep2["chunks_complete"] == 6
     assert rep2["lineage_docs"] == 80
     assert rep2["finalized_rows"] == 80
+
+
+def test_job_cli_missing_config_fails_fast(tmp_path):
+    """A typo'd --config path must error, not silently fall back to
+    defaults and disable auto language detection (round-2 ADVICE)."""
+    r = subprocess.run(
+        [sys.executable, "archvisier_spark/job.py",
+         "--synthesize", "5",
+         "--output", str(tmp_path / "o"),
+         "--checkpoint", str(tmp_path / "c"),
+         "--config", str(tmp_path / "nope.json"),
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "not found" in r.stderr

@@ -338,6 +338,20 @@ def test_jaro_winkler_textbook_goldens():
     assert jaro_winkler("a", "") == 0.0
 
 
+def test_jaro_winkler_boost_gated_below_threshold():
+    """rapidfuzz applies the Winkler prefix boost only when Jaro > 0.7 —
+    a low-Jaro pair with a long common prefix must NOT be inflated into
+    the downstream 0.7 acceptance region (round-2 ADVICE)."""
+    from archvisier_spark.kernel.similarity import jaro_similarity, jaro_winkler
+
+    a, b = "prefixxyzzzz", "prefiqqqaaaa"  # 4+ char common prefix
+    j = jaro_similarity(a, b)
+    assert j < 0.7
+    assert jaro_winkler(a, b) == j  # no boost below the threshold
+    # and the boost still applies just above it
+    assert jaro_winkler("DWAYNE", "DUANE") > jaro_similarity("DWAYNE", "DUANE")
+
+
 def test_levenshtein_ratio_golden():
     from archvisier_spark.kernel.similarity import levenshtein_ratio
 

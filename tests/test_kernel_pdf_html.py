@@ -129,7 +129,10 @@ def test_fast_tokenizer_differential_vs_stdlib():
     stdlib HTMLParser path (its correctness oracle) across a grammar that
     includes quoted-'>'-in-attribute tags, comments containing markup,
     script/style CDATA with fake tags inside, bare '<' in text, entities,
-    doctypes, and unclosed elements."""
+    doctypes, unclosed elements, and XHTML self-closing tags (plain
+    '<tag/>', attribute'd '<tag a="x"/>', bare-attr '<tag disabled/>',
+    and the unquoted-value trap '<tag a=x/>' where stdlib absorbs the
+    slash into the value)."""
     import random
 
     from archvisier_spark.kernel.html_extract import (
@@ -161,6 +164,21 @@ def test_fast_tokenizer_differential_vs_stdlib():
                     attrs = f' href="x{rng.randint(0, 9)}>y" class=\'c\''
                 elif ar < 0.5:
                     attrs = f" id=v{rng.randint(0, 9)}"
+                sc = rng.random()
+                if sc < 0.15:
+                    # XHTML self-closing: depths must stay net-unchanged
+                    end = rng.choice(["/>", " />"])
+                    parts.append(f"<{t}{attrs}{end}")
+                    continue
+                if sc < 0.2:
+                    # trailing slash glued to an unquoted value — stdlib
+                    # absorbs it into the value (a START tag, not startend)
+                    parts.append(f"<{t} id=v{rng.randint(0, 9)}/>")
+                    parts.append(f"</{t}>")
+                    continue
+                if sc < 0.24:
+                    parts.append(f"<{t} disabled/>")  # bare-attr self-close
+                    continue
                 inner = "" if t == "br" else rand_html(depth + 1)
                 if t in ("script", "style"):
                     inner = "if (a<b) { x = '</div>'; } <p>not a tag"
@@ -168,9 +186,70 @@ def test_fast_tokenizer_differential_vs_stdlib():
                 parts.append(f"<{t}{attrs}>{inner}{closing}")
         return "".join(parts)
 
+    fallbacks = 0
     for _ in range(2000):
         doc = rand_html()
         fast = html_blocks_fast(doc)
         if fast is None:  # explicit fallback is allowed, silent drift is not
+            fallbacks += 1
             continue
         assert fast == html_blocks_stdlib(doc), repr(doc[:200])
+    # the fallback must stay an escape hatch, not the common path
+    assert fallbacks < 200, f"fast path bailed on {fallbacks}/2000 docs"
+
+
+def test_fast_tokenizer_self_closing_tags():
+    """Regression: '<svg/>' / '<iframe/>' / '<script/>' must NOT swallow
+    the rest of the document, and '<a/>' must not leak link depth
+    (round-2 verdict bug: IGNORED self-closers incremented ignore_depth
+    with no matching close)."""
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    cases = [
+        "<svg/>text after self-closing svg element here",
+        "<script/>not actually script content</p>more",
+        "<iframe/>after iframe",
+        "<a/>link leak check with long text here ok",
+        "<p/>para text<p>second block here</p>",
+        '<div attr="x"/>after attr self close',
+        '<img src="a.png"/><p>real para content here</p>',
+        "<style/>not style content really",
+        "<template/>tpl after",
+        "<head/>head after",
+        "<br />space before slash",
+        "<input disabled/>after bare attr",
+        '<a href="x"disabled/>after quote-adjacent bare attr',
+        # unquoted-value trap: stdlib parses these as START tags
+        "<a href=x/>text inside an anchor that never closes here",
+        "<div class=c/>text",
+    ]
+    for c in cases:
+        std = html_blocks_stdlib(c)
+        fast = html_blocks_fast(c)
+        effective = std if fast is None else fast
+        assert effective == std, c
+    # the headline repro must take the fast path, not the fallback
+    assert html_blocks_fast(cases[0]) == [
+        ("text after self-closing svg element here", 0)
+    ]
+
+
+def test_fast_tokenizer_closing_slash_falls_back():
+    """'</tag/>' is mode-dependent in stdlib (end tag outside CDATA, raw
+    data inside) — the fast path must bail to the oracle, never guess."""
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks,
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    for c in [
+        "<script>var x=1;</script/>after script",
+        "<a>link text</a/>after slash-close anchor more text",
+        "<svg>inside</svg/>after",
+    ]:
+        assert html_blocks_fast(c) is None
+        assert html_blocks(c) == html_blocks_stdlib(c)

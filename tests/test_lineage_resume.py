@@ -107,3 +107,33 @@ def test_finalize_names_dense_sequence(spark, docs, tmp_path):
 
 def test_completed_chunks_empty_checkpoint(spark, tmp_path):
     assert completed_chunks(spark, str(tmp_path / "missing")) == set()
+
+
+def test_legacy_checkpoint_without_run_id(spark, docs, tmp_path):
+    """Checkpoints written before the run_id column existed must keep
+    working: lineage_report orders by run_id, and a mixed-schema parquet
+    dir read without mergeSchema may drop the column depending on which
+    footer Spark samples (round-2 ADVICE)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # hand-write a legacy lineage row (no run_id column) for chunk 0
+    spark.createDataFrame(
+        [(0, 5, 1000, 0, 12345, "ok")],
+        "chunk_id int, n_docs long, n_bytes long, n_errors long, checksum long, status string",
+    ).write.mode("append").parquet(ckpt)
+
+    # resume: chunk 0 must be seen as done; new rows get run_id >= 0
+    processed = run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS)
+    assert 0 not in processed
+    assert sorted(processed) == [c for c in range(N_CHUNKS) if c != 0]
+
+    # the mixed-schema checkpoint still reports — legacy row wins for
+    # chunk 0 (its only row), new rows win elsewhere
+    report = {r["chunk_id"]: r for r in lineage_report(spark, ckpt).collect()}
+    assert set(report) == set(range(N_CHUNKS))
+    assert report[0]["run_id"] == -1 and report[0]["n_docs"] == 5
+    assert all(report[c]["run_id"] == 0 for c in range(1, N_CHUNKS))
+
+    # a second pass over the mixed dir is still a no-op
+    assert run_resumable(spark, docs, out, ckpt, n_chunks=N_CHUNKS) == []
