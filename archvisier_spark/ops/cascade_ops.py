@@ -266,6 +266,79 @@ FROM documents WHERE doc_id < 300
 """
 
 
+# --- X18 full form: ALL non-overlapping occurrence spans, as built-ins ---
+
+def _all_starts_col(text_col, needle: str):
+    """0-based start offsets of every non-overlapping literal occurrence —
+    find_all_occurrences (kernel/spans.py, training_engine.py:48-56)
+    re-expressed as pure built-ins: split on the quoted literal, then a
+    prefix-scan over segment lengths (``aggregate`` with an array
+    accumulator).  Leftmost non-overlapping split semantics are exactly
+    the kernel's advance-by-len(sub) loop."""
+    L = len(needle)
+    segs = F.split(text_col, r"\Q" + needle + r"\E", -1)
+    return F.aggregate(
+        F.slice(segs, 1, F.size(segs) - 1),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.array().cast("array<int>").alias("st"),
+        ),
+        lambda acc, seg: F.struct(
+            (acc.pos + F.length(seg) + F.lit(L)).cast("int").alias("pos"),
+            F.concat(acc.st, F.array((acc.pos + F.length(seg)).cast("int"))).alias("st"),
+        ),
+        lambda acc: acc.st,
+    )
+
+
+def q_all_occurrence_spans(spark, sf_dir):
+    """X18 span contract in its FULL array form: every (start, end) span
+    of each needle per document, emitted as canonical JSON so the value
+    hash compares across engines (array representations differ between
+    Spark/DuckDB pandas bridges; the JSON string is bytewise canonical).
+
+    Matches kernel label_spans' per-needle output (end = start + len);
+    the per-row Python ground truth is pinned in tests/test_ops_cascade
+    spans test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    d_starts = _all_starts_col(F.col("text"), "data")
+    s_starts = _all_starts_col(F.col("text"), "spark")
+    d_spans = F.transform(
+        d_starts, lambda s: F.struct(s.alias("start"), (s + F.lit(4)).alias("end"))
+    )
+    return docs.select(
+        "doc_id",
+        F.to_json(d_spans).alias("spans_data"),
+        F.size(d_starts).alias("n_data"),
+        F.to_json(s_starts).alias("starts_spark"),
+        F.size(s_starts).alias("n_spark"),
+    )
+
+
+_ALL_OCCURRENCE_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         string_split(text, 'data')  AS sd,
+         string_split(text, 'spark') AS ss
+  FROM documents WHERE doc_id < 300
+),
+st AS (
+  SELECT doc_id,
+    [ (list_sum(list_transform(sd[1:i], x -> length(x))) + (i-1)*4)::INT
+      FOR i IN range(1, len(sd)) ] AS d_starts,
+    [ (list_sum(list_transform(ss[1:i], x -> length(x))) + (i-1)*5)::INT
+      FOR i IN range(1, len(ss)) ] AS s_starts
+  FROM segs
+)
+SELECT doc_id,
+       to_json([{'start': x, 'end': x + 4} FOR x IN d_starts])::VARCHAR AS spans_data,
+       len(d_starts) AS n_data,
+       to_json(s_starts)::VARCHAR AS starts_spark,
+       len(s_starts) AS n_spark
+FROM st
+"""
+
+
 QUERIES = {
     "cascade_metadata": q_cascade_metadata,
     "cascade_fingerprints": q_fingerprints,
@@ -273,6 +346,7 @@ QUERIES = {
     "k4_fuzzy_pairs": q_fuzzy_pairs,
     "x12_sanitize_names": q_sanitize_names,
     "x18_first_occurrence": q_first_occurrence_offsets,
+    "x18_all_occurrences": q_all_occurrence_spans,
 }
 
 ORACLES = {
@@ -282,4 +356,5 @@ ORACLES = {
     "k4_fuzzy_pairs": _FUZZY_PAIRS_SQL,
     "x12_sanitize_names": _SANITIZE_SQL,
     "x18_first_occurrence": _FIRST_OCCURRENCE_SQL,
+    "x18_all_occurrences": _ALL_OCCURRENCE_SQL,
 }

@@ -50,7 +50,7 @@ def q_context_similar_docs(spark, sf_dir):
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") <= 3) & (F.col("cos") > 0.2))
-        .select("query_id", "mem_id", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "mem_id", F.round("cos", 4).alias("cosine"))
     )
 
 
@@ -139,6 +139,60 @@ FROM (
 ) WHERE best_sim >= 0.7
 """
 
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _similar_docs_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+    """Value oracle for q_context_similar_docs, generated by stub-encoding
+    the driver corpus OUTSIDE Spark (pyarrow read + the plain-Python K5
+    stub) and embedding the vectors as literal DOUBLE arrays — the same
+    literal-embedding trick as the ANN-LSH plane oracle.  The SQL then
+    independently reproduces the broadcast cross join, cosine, top-3 and
+    0.2 threshold.  Returns None (→ rows-only driver check) when the
+    driver corpus is not on disk."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"]).to_pandas()
+    tbl = tbl[tbl.doc_id < 150].sort_values("doc_id")
+    vecs = {
+        int(r.doc_id): encode_text_stub((r.text or "")[:2000])
+        for r in tbl.itertuples(index=False)
+    }
+
+    def values(ids):
+        return ",\n  ".join(
+            f"({i}, [{', '.join(repr(v) for v in vecs[i])}]::DOUBLE[])" for i in ids
+        )
+
+    mem_ids = [i for i in sorted(vecs) if i < 100]
+    q_ids = [i for i in sorted(vecs) if 100 <= i < 150]
+    return f"""
+WITH mem(mem_id, mv) AS (VALUES
+  {values(mem_ids)}
+),
+q(query_id, qv) AS (VALUES
+  {values(q_ids)}
+),
+scored AS (
+  SELECT query_id, mem_id, list_cosine_similarity(qv, mv) AS cos
+  FROM q CROSS JOIN mem
+)
+SELECT query_id::BIGINT AS query_id, mem_id::BIGINT AS mem_id,
+       round(cos, 4) AS cosine
+FROM (
+  SELECT query_id, mem_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, mem_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3 AND cos > 0.2
+"""
+
+
 QUERIES = {
     "context_similar_docs": q_context_similar_docs,
     "context_corrections": q_context_corrections,
@@ -146,8 +200,10 @@ QUERIES = {
 }
 ORACLES: dict[str, str] = {
     "context_corrections": _CORRECTIONS_SQL,
-    # context_similar_docs: K5 stub encoder (seeded PRNG) is deliberately
-    # Python-exact → rows-only; kernel differential in tests/test_ops_context.py
     # extraction_roundtrip: full binary pipeline gauge → rows-only;
     # per-url byte-identity in tests/test_pipeline_differential.py
 }
+_sim_oracle = _similar_docs_oracle_sql()
+if _sim_oracle is not None:
+    # K5 stub vectors embedded as literals → full value oracle
+    ORACLES["context_similar_docs"] = _sim_oracle

@@ -104,22 +104,21 @@ GROUP BY 1
 
 # --- MinHash + LSH: the scale path (all JVM built-ins) ---
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id + k-wide minhash sketch over 3-token shingles.
+def signatures_from_shingles(
+    sh_df: DataFrame, k: int = MINHASH_K, shingles: str = "sh"
+) -> DataFrame:
+    """doc_id + k-wide minhash sketch from a (doc_id, shingle-array) frame.
 
-    Shingling, hashing and the min-reduction are Spark built-ins
-    (``transform``/``sequence``/``xxhash64``/``array_min``) — whole-stage
-    codegen, zero Python.  Each shingle STRING is hashed exactly once
-    (xxhash64); the k lanes re-hash the resulting 8-byte long per seed,
-    which is ~5× cheaper than re-hashing variable-length strings k times.
+    Hashing and the min-reduction are Spark built-ins
+    (``transform``/``xxhash64``/``array_min``) — whole-stage codegen, zero
+    Python.  Each shingle STRING is hashed exactly once (xxhash64); the k
+    lanes re-hash the resulting 8-byte long per seed, which is ~5× cheaper
+    than re-hashing variable-length strings k times.  ``array_min`` is
+    duplicate-invariant, so distinct and raw shingle arrays yield the SAME
+    sketch — the one shingle table serves both the sketch and the exact
+    verification join.
     """
-    toks = F.split(F.trim("text"), r"\s+")
-    n_shingles = F.greatest(F.size(toks) - (SHINGLE - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_shingles),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
-    )
-    base_hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    base_hashes = F.transform(F.col(shingles), lambda s: F.xxhash64(s))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("hs"), lambda h: F.hash(h, F.lit(seed))))
@@ -127,9 +126,16 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         ]
     )
     return (
-        docs.select("doc_id", shingles.alias("shingles"))
-        .select("doc_id", base_hashes.alias("hs"))
+        sh_df.select("doc_id", base_hashes.alias("hs"))
         .select("doc_id", sig.alias("sig"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id + k-wide minhash sketch over 3-token shingles (convenience
+    composition: shingle → :func:`signatures_from_shingles`)."""
+    return signatures_from_shingles(
+        docs.select("doc_id", shingle_col("text").alias("sh")), k
     )
 
 
@@ -194,16 +200,24 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     the driver gets a full rows+schema+hash check on the scale path.
     """
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
-    # Pin the sketch and shingle tables: the banded self-join and the
-    # two-sided verify join would otherwise recompute the 32-lane hashing
-    # once per side (3× total).  On a cluster these ARE materialized index
-    # tables (write once, join many) — localCheckpoint is the local-mode
-    # equivalent; both are narrow row-per-doc slices, never the corpus.
-    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs)
-    sh = docs.select("doc_id", shingle_col("text").alias("sh")).localCheckpoint(
-        eager=True
+    # ONE materialization feeds everything: the shingle table is pinned
+    # (shingling is the expensive pass — spread it across cores first:
+    # the pushed-down doc_id filter collapses the scan to ~1 partition),
+    # and the sketch, the banded self-join, and BOTH sides of the verify
+    # join derive from it — the 32-lane hashing runs over pinned local
+    # rows instead of re-shingling the corpus 3×.  On a cluster this IS a
+    # materialized index table (write once, join many) — localCheckpoint
+    # is the local-mode equivalent (lineage-truncating, so executor loss
+    # would need the written-table form); it pins a narrow row-per-doc
+    # slice, never the corpus.
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", shingle_col("text").alias("sh"))
+        .localCheckpoint(eager=True)
     )
+    sigs = signatures_from_shingles(sh)
+    cands = lsh_candidate_pairs(sigs)
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

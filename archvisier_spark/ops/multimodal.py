@@ -44,8 +44,9 @@ def build_simg(width: int, height: int, channels: int, seed: int) -> bytes:
     return SIMG_MAGIC + struct.pack("<IIB", width, height, channels) + payload
 
 
-def media_table(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
-    """Fixture media table: (media_id, kind, blob)."""
+def _media_rows(n: int = 200, seed: int = 42) -> list[dict]:
+    """Deterministic fixture rows — shared by the Spark table builder and
+    the DuckDB oracle generator so both engines see the exact same bytes."""
     import random
 
     rng = random.Random(seed)
@@ -59,6 +60,12 @@ def media_table(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
         else:
             blob = bytes([i % 256]) * rng.randint(1, 64)
         rows.append({"media_id": i, "kind": kind, "blob": blob})
+    return rows
+
+
+def media_table(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    """Fixture media table: (media_id, kind, blob)."""
+    rows = _media_rows(n, seed)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -233,12 +240,12 @@ def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
     return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
-def video_table(spark: SparkSession, n: int = 40, seed: int = 7) -> DataFrame:
-    """Fixture video table (media_id, blob)."""
+def _video_rows(n: int = 40, seed: int = 7) -> list[dict]:
+    """Deterministic fixture rows — shared with the oracle generator."""
     import random
 
     rng = random.Random(seed)
-    rows = [
+    return [
         {
             "media_id": i,
             "blob": build_svid(rng.choice([10, 24, 30]), rng.randint(10, 60), 128, i)
@@ -247,6 +254,11 @@ def video_table(spark: SparkSession, n: int = 40, seed: int = 7) -> DataFrame:
         }
         for i in range(n)
     ]
+
+
+def video_table(spark: SparkSession, n: int = 40, seed: int = 7) -> DataFrame:
+    """Fixture video table (media_id, blob)."""
+    rows = _video_rows(n, seed)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -274,8 +286,80 @@ def q_media_metadata(spark, sf_dir):
     )
 
 
+def _hex_values(rows: list[dict]) -> str:
+    """(media_id, hex-blob) VALUES list — the oracle re-parses the exact
+    fixture bytes, as hex text (this DuckDB build has no blob slicing;
+    2 hex chars = 1 byte, so header fields live at fixed substr offsets)."""
+    return ",\n  ".join(
+        f"({r['media_id']}, '{r['blob'].hex().upper()}')" for r in rows
+    )
+
+
+def _le32(hex_char_offset: int) -> str:
+    """SQL expr: little-endian u32 at a 1-based hex-string offset."""
+    o = hex_char_offset
+    return (
+        f"CAST('0x' || substr(h,{o + 6},2) || substr(h,{o + 4},2)"
+        f" || substr(h,{o + 2},2) || substr(h,{o},2) AS BIGINT)"
+    )
+
+
+def _media_oracle_sql() -> str:
+    """Full value oracle for q_media_metadata: the deterministic fixture
+    blobs are embedded as hex literals and the SIMG/WAV header sniff is
+    re-done in SQL ('53494D47' = SIMG, '52494646'+'57415645' = RIFF/WAVE)."""
+    return f"""
+WITH media(media_id, h) AS (VALUES
+  {_hex_values(_media_rows())}
+),
+parsed AS (
+  SELECT media_id,
+    CASE WHEN substr(h, 1, 8) = '53494D47' THEN 'simg'
+         WHEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645' THEN 'wav'
+         ELSE 'unknown' END AS format,
+    CASE WHEN substr(h, 1, 8) = '53494D47'
+           OR (substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645')
+         THEN 'ok' ELSE 'unrecognized container' END AS status,
+    length(h) // 2 AS n_bytes
+  FROM media
+)
+SELECT format, status, count(*) AS n, sum(n_bytes)::BIGINT AS total_bytes
+FROM parsed GROUP BY 1, 2
+"""
+
+
+def _video_oracle_sql(stride: int = 5) -> str:
+    """Full value oracle for q_video_frame_sample: SVID headers
+    ('53564944') re-parsed in SQL; sampled-frame count = ceil(n/stride),
+    last timestamp = stride*floor((n-1)/stride) / fps."""
+    return f"""
+WITH vids(media_id, h) AS (VALUES
+  {_hex_values(_video_rows())}
+),
+parsed AS (
+  SELECT media_id,
+    substr(h, 1, 8) = '53564944' AS is_vid,
+    {_le32(9)} AS fps,
+    {_le32(17)} AS n_frames
+  FROM vids
+)
+SELECT media_id::BIGINT AS media_id,
+  CASE WHEN is_vid THEN 'ok' ELSE 'not a video container' END AS status,
+  (CASE WHEN is_vid THEN (n_frames + {stride} - 1) // {stride} ELSE 1 END)::BIGINT
+    AS n_frames_sampled,
+  CASE WHEN is_vid
+       THEN round(({stride} * ((n_frames - 1) // {stride}))::DOUBLE / fps, 3)
+       ELSE 0.0 END AS last_t_sec
+FROM parsed
+"""
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_video_frame_sample": q_video_frame_sample,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # fixture bytes embedded as hex literals; header parsing re-done in SQL
+    "media_metadata": _media_oracle_sql(),
+    "media_video_frame_sample": _video_oracle_sql(),
+}

@@ -226,7 +226,12 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
     vectors, assign every vector, recompute per-bucket means.  Both the
     seed collect (k×dim) and the means collect (k×dim rows) are
     metadata-sized; the assignment pass is a map-only expression over the
-    table — the shape that trains on 10^12 rows."""
+    table — the shape that trains on 10^12 rows.
+
+    Means are rounded to 6 decimals: double-summation order varies with
+    partitioning, so the raw avg is only reproducible to ~1 ulp — rounding
+    pins the trained centroids run-to-run AND lets an independent engine
+    (the DuckDB oracle) train to the exact same values."""
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.orderBy("vec_id").limit(k).collect()
@@ -235,7 +240,7 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
     means = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg(F.avg("val").alias("m"))
+        .agg(F.round(F.avg("val"), 6).alias("m"))
         .collect()
     )
     dim = len(seeds[0])
@@ -411,6 +416,72 @@ FROM (
 """
 
 
+_IVF_TOPK_SQL = f"""
+WITH seeds AS (
+  SELECT cid, se FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding::DOUBLE[] AS se
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+  )
+),
+-- one Lloyd iteration, exactly as train_ivf_centroids: assign to argmax-
+-- cosine seed (ties -> larger cid, matching Spark's struct array_max),
+-- per-bucket elementwise means rounded to 6 decimals
+assign0 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.se) DESC,
+                      s.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cid, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS m
+  FROM assign0, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY cid, i
+),
+trained AS (SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid),
+cents AS (  -- empty buckets keep their (unrounded) seed
+  SELECT s.cid, coalesce(t.ce, s.se) AS ce
+  FROM seeds s LEFT JOIN trained t ON s.cid = t.cid
+),
+lists AS (  -- inverted lists: every vector to its nearest trained centroid
+  SELECT vec_id AS cand_id, embedding AS cemb, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (  -- nprobe nearest lists per query
+  SELECT vec_id AS query_id, embedding AS qemb, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, l.cand_id, p.qemb, l.cemb
+  FROM probes p JOIN lists l ON p.cid = l.cid
+  WHERE l.cand_id <> p.query_id
+)
+SELECT query_id, cand_id, rk, round(cos, 4) AS cosine
+FROM (
+  SELECT query_id, cand_id,
+         list_cosine_similarity(qemb::DOUBLE[], cemb::DOUBLE[]) AS cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qemb::DOUBLE[], cemb::DOUBLE[]) DESC,
+                    cand_id ASC) AS rk
+  FROM cands
+) WHERE rk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_norm_stats": q_norm_stats,
@@ -428,5 +499,8 @@ ORACLES = {
     "sim_ann_lsh_topk": _ann_oracle_sql(),
     "sim_similar_above_threshold": _SIMILAR_THRESHOLD_SQL,
     "sim_embedding_near_dup": _EMB_NEAR_DUP_SQL,
-    # sim_ivf_topk: centroids derive from a training pass → rows-only
+    # full oracle incl. the TRAINING pass: the one Lloyd iteration is
+    # reproduced in SQL; 6-decimal mean rounding makes both engines train
+    # to identical centroids
+    "sim_ivf_topk": _IVF_TOPK_SQL,
 }

@@ -40,6 +40,15 @@ def normalise(rows, cols):
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# the context_similar_docs oracle ships with stub vectors generated from
+# the DRIVER's sf0.01 corpus (its correctness scale); this test runs at
+# sf0.001, so regenerate the literals for the corpus under test
+from archvisier_spark.ops.context_ops import _similar_docs_oracle_sql
+
+_ctx_oracle = _similar_docs_oracle_sql(SF_DIR)
+if _ctx_oracle is not None:
+    ORACLES["context_similar_docs"] = _ctx_oracle
+
 
 def test_oracle_names_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
