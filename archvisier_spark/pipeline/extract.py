@@ -165,6 +165,101 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str,
     return extract_batch
 
 
+def _arrow_out_schema(in_schema):
+    """Arrow output schema for the extraction batch, inheriting the input's
+    exact timestamp type (tz metadata must round-trip untouched)."""
+    import pyarrow as pa
+
+    string_fields = [
+        "format", "extracted_text", "status", "data", "nadawca_odbiorca",
+        "w_sprawie", "numer_dokumentu", "sygnatura_sprawy", "typ_dokumentu",
+        "doc_status",
+    ]
+    return pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", in_schema.field("warc_ts").type),
+            pa.field("lang", pa.string()),
+            *[pa.field(n, pa.string()) for n in string_fields],
+            pa.field("colors", pa.map_(pa.string(), pa.string())),
+            pa.field("extra", pa.map_(pa.string(), pa.string())),
+            pa.field(
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("start", pa.int32()),
+                            pa.field("end", pa.int32()),
+                            pa.field("label", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            pa.field("n_chars", pa.int64()),
+            pa.field("n_bytes", pa.int64()),
+        ]
+    )
+
+
+def make_extract_arrow(language: str, work_mode: str, case_signature: str,
+                       entity_rules=None, llm_tier=None):
+    """mapInArrow variant of :func:`make_extract_batch` — identical kernel
+    calls, minimal memory traffic: the pandas materialisation is skipped on
+    BOTH sides, and the columns the kernel never touches (url array for
+    output, warc_ts, lang) pass through as the input's own Arrow buffers
+    (zero-copy), so only html payload bytes and the computed fields cross
+    the Arrow↔Python object boundary."""
+    import pyarrow as pa
+
+    provider = _build_provider(entity_rules)
+    computed = [n for n in _FIELD_NAMES if n not in ("url", "warc_ts", "lang")]
+
+    def extract_batches(batches):
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = _arrow_out_schema(batch.schema)
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {name: [] for name in computed}
+            for url, html in zip(urls, htmls):
+                payload = bytes(html) if html is not None else None
+                text, status, fmt = extract_document_text(payload, language)
+                info = extract_info_from_text(text, url, work_mode, case_signature,
+                                              entity_provider=provider,
+                                              llm_tier=llm_tier)
+                cols["format"].append(fmt)
+                cols["extracted_text"].append(text)
+                cols["status"].append(status)
+                cols["data"].append(info["data"])
+                cols["nadawca_odbiorca"].append(info["nadawca_odbiorca"])
+                cols["w_sprawie"].append(info["w_sprawie"])
+                cols["numer_dokumentu"].append(info["numer_dokumentu"])
+                cols["sygnatura_sprawy"].append(info["sygnatura_sprawy"])
+                cols["typ_dokumentu"].append(info["typ_dokumentu"])
+                cols["doc_status"].append(info["status"])
+                cols["colors"].append(info["colors"])
+                cols["extra"].append(
+                    {k: str(v) for k, v in info.items() if k not in _CORE_INFO_KEYS}
+                )
+                cols["spans"].append(info_spans(text, info))
+                cols["n_chars"].append(len(text))
+                cols["n_bytes"].append(len(payload) if payload else 0)
+            arrays = [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                batch.column("lang"),
+                *[
+                    pa.array(cols[f.name], type=f.type)
+                    for f in out_schema
+                    if f.name in computed
+                ],
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return extract_batches
+
+
 def make_metadata_batch(work_mode: str, case_signature: str, entity_rules=None,
                         llm_tier=None):
     """mapInPandas stage over rows whose text is ALREADY extracted
@@ -203,6 +298,7 @@ def extract_documents(
     shuffle: bool = False,
     entity_rules=None,
     llm_tier=None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
@@ -228,12 +324,19 @@ def extract_documents(
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    fn = make_extract_batch(language, work_mode, case_signature, entity_rules, llm_tier)
     cols = df.select("url", "warc_ts", "html", "lang")
 
     def run(frame: DataFrame) -> DataFrame:
         if shuffle:
             frame = frame.repartition(n_parts * TASKS_PER_CORE, "url")
+        if arrow:
+            # mapInArrow: same kernel, no pandas materialisation, untouched
+            # columns pass through as the input's own Arrow buffers
+            fn = make_extract_arrow(language, work_mode, case_signature,
+                                    entity_rules, llm_tier)
+            return frame.mapInArrow(fn, EXTRACT_SCHEMA)
+        fn = make_extract_batch(language, work_mode, case_signature,
+                                entity_rules, llm_tier)
         return frame.mapInPandas(fn, EXTRACT_SCHEMA)
 
     if paged_threshold is not None:

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from archvisier_spark.pipeline.extract import extract_documents, with_new_names
+from archvisier_spark.pipeline.extract import (
+    extract_documents,
+    with_display_numbers,
+    with_new_names,
+)
 
 DEFAULT_CHUNKS = 64
 STATUS_OK = "ok"
@@ -141,10 +145,16 @@ def run_resumable(
 def finalize_names(
     spark: SparkSession, output_path: str, work_mode: str = "KP"
 ) -> DataFrame:
-    """Global numbering + naming over the completed chunk output."""
-    return with_new_names(
+    """Global numbering + naming over the completed chunk output, plus the
+    year-scoped display number: the flagship output ships ``lp`` /
+    ``new_name`` (X13/X14) AND ``lp_year`` / ``display_number`` — the
+    reference's ``{mode}/{year}`` session counters rendered with the
+    TYPE_PATTERNS literals (gui/constants.py:9-13) — not just the oracle
+    query's view of them."""
+    named = with_new_names(
         spark.read.parquet(output_path).drop("chunk_id"), work_mode=work_mode
     )
+    return with_display_numbers(named, work_mode=work_mode)
 
 
 def lineage_report(spark: SparkSession, checkpoint_path: str) -> DataFrame:

@@ -53,6 +53,11 @@ def with_sequence(
     # The offsets (collected below) and the __pid/__rn the join reads must
     # come from ONE materialisation, so pin the slim slice here.  Cost is
     # bounded: this is the pruned key slice, never the payload.
+    # Cluster note: localCheckpoint stores blocks on executors — an
+    # executor loss makes them unrecoverable (lineage is truncated).  On a
+    # real cluster the same pin is a written table (the Iceberg index-
+    # table analog, exactly like q_minhash_lsh_dedup's shingle table);
+    # local mode has no executor loss, so the in-memory form is safe here.
     slim = slim.localCheckpoint(eager=True)
     slim = slim.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid", *partition_cols).orderBy(order_col)

@@ -46,6 +46,24 @@ def _memcpy_task(_):
     return len(buf)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def confined(nproc: int):
+    """Pin this process (and children spawned inside) to cores 0..nproc-1 —
+    the same cpuset discipline the Spark trials get from ``taskset``, so
+    the ceiling and the measurement see identical core budgets."""
+    import os
+
+    old = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(nproc)))
+    try:
+        yield
+    finally:
+        os.sched_setaffinity(0, old)
+
+
 def _run(task, nproc: int) -> float:
     """Wall seconds to complete nproc copies of task on nproc processes."""
     with mp.get_context("spawn").Pool(nproc) as pool:
@@ -54,12 +72,18 @@ def _run(task, nproc: int) -> float:
         return time.time() - t0
 
 
+def run_once(task, nproc: int) -> float:
+    """One confined measurement → work-units per second."""
+    with confined(nproc):
+        sec = _run(task, nproc)
+    return nproc / sec
+
+
 def efficiency(task, trials: int = 3) -> dict:
     rates = {8: [], 32: []}
     for _t in range(trials):
         for n in (8, 32):
-            sec = _run(task, n)
-            rates[n].append(n / sec)  # work-units per second
+            rates[n].append(run_once(task, n))
     import statistics
 
     med8 = statistics.median(rates[8])

@@ -103,6 +103,17 @@ def test_finalize_names_dense_sequence(spark, docs, tmp_path):
     named = finalize_names(spark, out).collect()
     by_url = sorted(named, key=lambda r: r["url"])
     assert [r["lp"] for r in by_url] == list(range(1, N_DOCS + 1))
+    # the year-scoped display number ships in the flagship output schema
+    for r in by_url:
+        year = r["warc_ts"].year
+        assert r["display_number"] == f"KP/{r['lp_year']}/{year}"
+    # lp_year is a dense 1..k sequence within each year
+    years = {}
+    for r in by_url:  # by_url is url-ordered, the numbering order
+        seq = years.setdefault(r["warc_ts"].year, [])
+        seq.append(r["lp_year"])
+    for year, seq in years.items():
+        assert seq == list(range(1, len(seq) + 1)), year
 
 
 def test_completed_chunks_empty_checkpoint(spark, tmp_path):
