@@ -350,11 +350,24 @@ QUERIES = {
 }
 
 ORACLES = {
-    # cascade_metadata, cascade_fingerprints: Python-re / rolling-hash
-    # semantics → rows-only driver check (byte-identity pinned in tests/)
+    # cascade_metadata: Python-re semantics → rows-only driver check
+    # (byte-identity pinned by the differential suite)
     "k1_token_similarity_c": _TOKEN_SIM_C_SQL,
     "k4_fuzzy_pairs": _FUZZY_PAIRS_SQL,
     "x12_sanitize_names": _SANITIZE_SQL,
     "x18_first_occurrence": _FIRST_OCCURRENCE_SQL,
     "x18_all_occurrences": _ALL_OCCURRENCE_SQL,
 }
+
+
+def _attach_fingerprint_oracle() -> None:
+    # deferred: fingerprint_oracle_sql lives in ops.dedup (shared XXH64
+    # literal-embedding machinery) and imports _FNV_OFFSET_I64 from here
+    from archvisier_spark.ops.dedup import fingerprint_oracle_sql
+
+    sql = fingerprint_oracle_sql()
+    if sql is not None:
+        ORACLES["cascade_fingerprints"] = sql
+
+
+_attach_fingerprint_oracle()

@@ -312,6 +312,130 @@ def q_simhash_buckets(spark, sf_dir):
     )
 
 
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+_U64 = "(1::HUGEINT << 64)"
+_BIT63 = "(1::HUGEINT << 63)"
+
+
+def corpus_token_hashes(sf_dir: str, max_doc_id: int) -> dict[str, int] | None:
+    """token → UNSIGNED Spark-xxhash64, for every whitespace token in the
+    capped corpus slice — computed OUTSIDE the JVM by the pure-Python
+    XXH64 (kernel/hashing.py, pinned ≡ F.xxhash64), so DuckDB oracles can
+    embed engine-identical token hashes as literals.  None when the corpus
+    is not on disk (→ rows-only driver check)."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from archvisier_spark.kernel.hashing import xxhash64_string
+
+    con = duckdb.connect()  # keep the ref alive across the fetch
+    try:
+        toks = [
+            r[0]
+            for r in con.sql(
+                f"""
+                SELECT DISTINCT tok FROM (
+                  SELECT unnest(list_filter(
+                    string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok
+                  FROM '{path}' WHERE doc_id < {max_doc_id})"""
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    return {t: xxhash64_string(t) & ((1 << 64) - 1) for t in sorted(toks)}
+
+
+def _hash_case_expr(token_hashes: dict[str, int], var: str = "t") -> str:
+    """CASE lookup embedding the token→hash map (HUGEINT, unsigned u64)."""
+    whens = " ".join(
+        f"WHEN '{tok.replace(chr(39), chr(39) * 2)}' THEN {h}::HUGEINT"
+        for tok, h in token_hashes.items()
+    )
+    return f"(CASE {var} {whens} END)"
+
+
+def simhash_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+    """Full value oracle for q_simhash_buckets: token hashes embedded as
+    literals (pure-Python XXH64 ≡ Spark's xxhash64), then the majority
+    bit-vote for the TOP-16 bits (the bucket = shiftrightunsigned(sig,48))
+    re-derived in unsigned HUGEINT arithmetic."""
+    th = corpus_token_hashes(sf_dir, 2000)
+    if th is None:
+        return None
+    case = _hash_case_expr(th)
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hl, h -> (h >> {48 + k}) % 2)) > n "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(16)
+    )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 2000
+),
+hs AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {case}) AS hl
+  FROM docs_t
+),
+sig AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0 ELSE ({bit_terms}) END AS bucket
+  FROM hs
+)
+SELECT bucket::BIGINT AS bucket, count(*) AS n_docs
+FROM sig GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def fingerprint_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+    """Full value oracle for cascade_fingerprints: the rotate-xor fold
+    (acc' = rotl5(acc) XOR xxhash64(token), seed = FNV-1a offset basis) is
+    re-derived with list_reduce over embedded literal token hashes.
+    rotl5 in u64 HUGEINT = (acc*32 mod 2^64) + (acc >> 59) (the two parts
+    share no bits, so + ≡ OR); XOR runs through signed BIGINT (bitwise on
+    two's complement, so the detour is exact)."""
+    from archvisier_spark.ops.cascade_ops import _FNV_OFFSET_I64
+
+    th = corpus_token_hashes(sf_dir, 500)
+    if th is None:
+        return None
+    case = _hash_case_expr(th)
+    offset_u64 = _FNV_OFFSET_I64 + (1 << 64)  # unsigned form of the seed
+    rotl = f"(((acc * 32) % {_U64}) + (acc >> 59))"
+    to_s = f"(CASE WHEN {rotl} >= {_BIT63} THEN {rotl} - {_U64} ELSE {rotl} END)::BIGINT"
+    h_s = f"(CASE WHEN h >= {_BIT63} THEN h - {_U64} ELSE h END)::BIGINT"
+    xor_u = (
+        f"(CASE WHEN xor({to_s}, {h_s}) < 0 "
+        f"THEN xor({to_s}, {h_s})::HUGEINT + {_U64} "
+        f"ELSE xor({to_s}, {h_s})::HUGEINT END)"
+    )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 500
+),
+hs AS (
+  SELECT doc_id, list_transform(toks, t -> {case}) AS hl FROM docs_t
+),
+folded AS (
+  SELECT doc_id,
+         list_reduce(list_prepend({offset_u64}::HUGEINT, hl),
+                     (acc, h) -> {xor_u}) AS f
+  FROM hs
+)
+SELECT doc_id,
+       (CASE WHEN f >= {_BIT63} THEN f - {_U64} ELSE f END)::BIGINT AS fingerprint
+FROM folded
+"""
+
+
 QUERIES = {
     "dedup_exact": q_exact_dedup,
     "dedup_near_jaccard": q_near_dup_jaccard,
@@ -325,6 +449,10 @@ ORACLES = {
     # LSH output == brute-force shingle-jaccard set on the driver corpus
     # (measured 0 misses; sketch is deterministic) → full value oracle
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
-    # dedup_simhash_buckets: engine-specific hashes → rows-only driver
-    # check; correctness pinned by tests/test_ops_dedup.py
 }
+_simhash_oracle = simhash_oracle_sql()
+if _simhash_oracle is not None:
+    # "engine-specific hashes" no more: the pure-Python XXH64 (pinned
+    # ≡ Spark's xxhash64) embeds the token hashes as literals and the
+    # bit-vote is re-derived in SQL
+    ORACLES["dedup_simhash_buckets"] = _simhash_oracle

@@ -40,14 +40,21 @@ def normalise(rows, cols):
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-# the context_similar_docs oracle ships with stub vectors generated from
-# the DRIVER's sf0.01 corpus (its correctness scale); this test runs at
-# sf0.001, so regenerate the literals for the corpus under test
+# these oracles ship with literals generated from the DRIVER's sf0.01
+# corpus (its correctness scale): stub vectors (context_similar_docs) and
+# XXH64 token hashes (simhash/fingerprints); this test runs at sf0.001,
+# so regenerate the literals for the corpus under test
 from archvisier_spark.ops.context_ops import _similar_docs_oracle_sql
+from archvisier_spark.ops.dedup import fingerprint_oracle_sql, simhash_oracle_sql
 
-_ctx_oracle = _similar_docs_oracle_sql(SF_DIR)
-if _ctx_oracle is not None:
-    ORACLES["context_similar_docs"] = _ctx_oracle
+for _name, _gen in [
+    ("context_similar_docs", _similar_docs_oracle_sql),
+    ("dedup_simhash_buckets", simhash_oracle_sql),
+    ("cascade_fingerprints", fingerprint_oracle_sql),
+]:
+    _sql = _gen(SF_DIR)
+    if _sql is not None:
+        ORACLES[_name] = _sql
 
 
 def test_oracle_names_subset_of_queries():
