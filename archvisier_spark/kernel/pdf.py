@@ -124,40 +124,80 @@ def _decode_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+# Per-stream parse memo: scanned/OCR corpora repeat page content streams
+# (blank pages, stamped headers, and the corpus's ×500 repeated-page skew
+# documents tile ONE stream hundreds of times inside a payload).  Pure
+# function of the stream bytes → byte-identity unaffected; bounded by
+# entry count and per-stream size.
+_STREAM_MEMO: dict[bytes, str | None] = {}
+_STREAM_MEMO_CAP = 1 << 14
+_STREAM_MEMO_MAX_BYTES = 1 << 14
+
+
+def _parse_stream(stream: bytes) -> str | None:
+    """One content stream → page text (None when it emits no lines).
+
+    Within a page, consecutive ``Tj`` runs on the same text line
+    concatenate; ``Td`` / ``TD`` / ``T*`` after at least one run starts a
+    new line."""
+    lines: list[bytes] = []
+    current = bytearray()
+    emitted_on_line = False
+    for tok in _STRING_OR_OP.finditer(stream):
+        grp = tok.lastgroup
+        if grp is None:
+            # lastgroup skips groups that matched EMPTY (e.g. '[]TJ' /
+            # '()Tj') — probe explicitly so empty runs still mark the line
+            # as emitted, exactly like the group-by-group original
+            if tok.group("arr") is not None:
+                grp = "arr"
+            elif tok.group("strop") is not None:
+                grp = "strop"
+            elif tok.group("lineop") is not None:
+                grp = "lineop"
+        if grp == "lineop":
+            if emitted_on_line:
+                lines.append(bytes(current))
+                current = bytearray()
+                emitted_on_line = False
+            continue
+        if grp == "strop":
+            current += _decode_pdf_string(tok.group("str"))
+            emitted_on_line = True
+        elif grp == "arr":
+            for s in _ARRAY_STRING.finditer(tok.group("arr")):
+                current += _decode_pdf_string(s.group(0)[1:-1])
+            emitted_on_line = True
+    if emitted_on_line or current:
+        lines.append(bytes(current))
+    if not lines:
+        return None
+    return b"\n".join(lines).decode("utf-8", errors="ignore")
+
+
 def pdf_page_texts(payload: bytes) -> list[str]:
     """Extract per-page text from a PDF byte payload.
 
-    Pages are content streams in order of appearance.  Within a page,
-    consecutive ``Tj`` runs on the same text line concatenate; ``Td`` /
-    ``TD`` / ``T*`` after at least one run starts a new line.  Malformed
-    payloads raise ``ValueError`` (callers convert errors to data rows).
+    Pages are content streams in order of appearance.  Malformed payloads
+    raise ``ValueError`` (callers convert errors to data rows).
     """
     if not payload.lstrip().startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- magic)")
     pages: list[str] = []
     for m in _STREAM_RE.finditer(payload):
         stream = m.group(1)
-        lines: list[bytes] = []
-        current = bytearray()
-        emitted_on_line = False
-        for tok in _STRING_OR_OP.finditer(stream):
-            if tok.group("lineop") is not None:
-                if emitted_on_line:
-                    lines.append(bytes(current))
-                    current = bytearray()
-                    emitted_on_line = False
-                continue
-            if tok.group("strop") is not None:
-                current += _decode_pdf_string(tok.group("str"))
-                emitted_on_line = True
-            elif tok.group("arr") is not None:
-                for s in _ARRAY_STRING.finditer(tok.group("arr")):
-                    current += _decode_pdf_string(s.group(0)[1:-1])
-                emitted_on_line = True
-        if emitted_on_line or current:
-            lines.append(bytes(current))
-        if lines:
-            pages.append(b"\n".join(lines).decode("utf-8", errors="ignore"))
+        if len(stream) <= _STREAM_MEMO_MAX_BYTES:
+            try:
+                text = _STREAM_MEMO[stream]
+            except KeyError:
+                text = _parse_stream(stream)
+                if len(_STREAM_MEMO) >= _STREAM_MEMO_CAP:
+                    _STREAM_MEMO.clear()
+                _STREAM_MEMO[stream] = text
+        else:
+            text = _parse_stream(stream)
+        if text is not None:
+            pages.append(text)
     return pages
 
 

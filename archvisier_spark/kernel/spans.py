@@ -46,15 +46,34 @@ def find_all_occurrences(text: str, sub: str) -> Iterator[int]:
         start += len(sub)
 
 
+# Precompiled per-keyword patterns (table order IS the semantics), plus a
+# single alternation prefilter: one scan decides "no keyword anywhere"
+# (the common case) instead of seven.  ``\b(a|b|...)\b`` matches iff some
+# ``\b kw \b`` matches, so the prefilter can never change the result.
+_KEYWORD_PATTERNS: list[tuple[str, "re.Pattern[str]"]] = [
+    (doc_type, re.compile(r"\b" + re.escape(keyword) + r"\b"))
+    for doc_type, keywords in TRAINING_DOC_TYPES.items()
+    for keyword in keywords
+]
+_ANY_KEYWORD = re.compile(
+    r"\b(?:"
+    + "|".join(
+        re.escape(kw) for kws in TRAINING_DOC_TYPES.values() for kw in kws
+    )
+    + r")\b"
+)
+
+
 def detect_document_type_span(text: str) -> Tuple[Optional[str], Optional[int], Optional[int]]:
     """First keyword hit over the lowered text with word boundaries,
     returning ``(type, start, end)`` (training_engine.py:58-66)."""
     lowered = text.lower()
-    for doc_type, keywords in TRAINING_DOC_TYPES.items():
-        for keyword in keywords:
-            m = re.search(r"\b" + re.escape(keyword) + r"\b", lowered)
-            if m:
-                return doc_type, m.start(), m.end()
+    if not _ANY_KEYWORD.search(lowered):
+        return None, None, None
+    for doc_type, pattern in _KEYWORD_PATTERNS:
+        m = pattern.search(lowered)
+        if m:
+            return doc_type, m.start(), m.end()
     return None, None, None
 
 

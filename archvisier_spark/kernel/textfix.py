@@ -76,11 +76,32 @@ def _repair_word(lower: str, dictionary: tuple[str, ...]) -> str | None:
     return best if best_d <= _CUTOFF else None
 
 
-def _repair_token(token: str, dictionary: tuple[str, ...]) -> str:
+# raw-token memo per dictionary: skips isalpha/lower/lru-hash on repeats —
+# OCR text re-uses its surface vocabulary (incl. separator runs) heavily.
+# Keyed by the dictionary tuple itself (resolved once per correct_text
+# call) and bounded: cleared past 128k distinct tokens so a 100 TB
+# executor can't grow it without limit.
+_TOKEN_MEMO: dict[tuple[str, ...], dict[str, str]] = {}
+_TOKEN_MEMO_CAP = 1 << 17
+
+
+def _repair_token(
+    token: str, dictionary: tuple[str, ...], memo: dict[str, str] | None = None
+) -> str:
+    if memo is None:
+        memo = _TOKEN_MEMO.setdefault(dictionary, {})
+    out = memo.get(token)
+    if out is not None:
+        return out
     if not token.isalpha():
-        return token
-    repl = _repair_word(token.lower(), dictionary)
-    return token if repl is None else repl
+        out = token
+    else:
+        repl = _repair_word(token.lower(), dictionary)
+        out = token if repl is None else repl
+    if len(memo) >= _TOKEN_MEMO_CAP:
+        memo.clear()
+    memo[token] = out
+    return out
 
 
 def correct_text(text: str, lang: str) -> str:
@@ -91,8 +112,30 @@ def correct_text(text: str, lang: str) -> str:
     word (processing/ocr.py:112-130).  ``lang == "pol"`` selects the Polish
     dictionary, anything else English.
     """
+    if len(text) <= _PAGE_MEMO_MAX_CHARS:
+        return _correct_text_cached(text, lang)
+    return _correct_text_impl(text, lang)
+
+
+# Page-level memo: OCR corpora repeat page text heavily (blank pages,
+# headers/footers, and the corpus's ×500 repeated-page skew documents), so
+# whole repaired pages are worth caching.  Bounded twice over: only pages
+# ≤ 4 KB enter the cache, and lru evicts past 32k entries (≤ ~130 MB/worker
+# worst case).  Pure function of (text, lang) → byte-identity unaffected.
+_PAGE_MEMO_MAX_CHARS = 4096
+
+
+@lru_cache(maxsize=1 << 15)
+def _correct_text_cached(text: str, lang: str) -> str:
+    return _correct_text_impl(text, lang)
+
+
+def _correct_text_impl(text: str, lang: str) -> str:
     dictionary = POLISH_DICTIONARY if lang == "pol" else ENGLISH_DICTIONARY
-    return "".join([_repair_token(t, dictionary) for t in _TOKEN_SPLIT.split(text)])
+    memo = _TOKEN_MEMO.setdefault(dictionary, {})
+    return "".join(
+        [_repair_token(t, dictionary, memo) for t in _TOKEN_SPLIT.split(text)]
+    )
 
 
 def detect_lang(text: str) -> str:

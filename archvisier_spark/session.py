@@ -20,12 +20,14 @@ ARROW_BATCH_ROWS = 512
 # Input split size: the map-only extraction stage inherits its task
 # granularity from scan splits, so splits must be small enough that every
 # core gets MULTIPLE WAVES of tasks (finish-time balancing against
-# per-document cost variance).  2 MB ≈ ~1000 docs per task at this payload
-# profile → ~4 waves on 32 cores for the bench corpus; the default 128 MB
-# would give local[32] exactly one wave and let the slowest clump of heavy
-# PDFs set the stage makespan.  (On a 1000-executor cluster the same rule
-# holds relative to table size — pick splits ≈ table_bytes / (cores × 4).)
-MAX_PARTITION_BYTES = "2m"
+# per-document cost variance).  1 MB → 128 tasks ≈ 4 waves on 32 cores for
+# the bench corpus; measured +9% at local[32] AND +8% at local[8] over 2 MB
+# (the 2 MB setting left only ~2.6 waves at 32 cores, so the last wave's
+# stragglers idled the stage).  The default 128 MB would give local[32]
+# ONE wave and let the slowest clump of heavy PDFs set the makespan.  (On
+# a 1000-executor cluster the same rule holds relative to table size —
+# pick splits ≈ table_bytes / (cores × 4).)
+MAX_PARTITION_BYTES = "1m"
 FILES_OPEN_COST = "512k"
 
 

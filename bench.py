@@ -216,14 +216,62 @@ def main_scaling(trials: int | None = None) -> None:
     med32 = statistics.median(rates[32])
     eff = (med32 / med8) / 4
     cpu_ceiling = (statistics.median(cal[32]) / statistics.median(cal[8])) / 4
-    # memcpy floor is informational (the worst case) — quick sample
+    # per-ROUND pairing: each round's spark ratio divided by the SAME
+    # round's calibration ratio (cal8 runs seconds before spark8, cal32
+    # before spark32), then the median over rounds — this cancels
+    # noise-window drift that the two independent series medians cannot
+    paired = [
+        ((rates[32][t] / rates[8][t]) / (cal[32][t] / cal[8][t]))
+        for t in range(trials)
+    ]
+    paired_norm = statistics.median(paired)
+    # memcpy floor is informational (the worst case) — median of 3 pairs
+    # (a single pair can land >1.0 in a noise window)
+    mem = {8: [], 32: []}
+    for _ in range(3):
+        for n in (8, 32):
+            mem[n].append(run_once(_memcpy_task, n))
     memcpy_floor = round(
-        (run_once(_memcpy_task, 32) / run_once(_memcpy_task, 8)) / 4, 4
+        (statistics.median(mem[32]) / statistics.median(mem[8])) / 4, 4
     )
     cpu_ceiling = round(cpu_ceiling, 4)
     normalized = eff / cpu_ceiling if cpu_ceiling else float("nan")
 
     os.makedirs("BENCH", exist_ok=True)
+    # persist every protocol run: single-run headlines on this VM are a
+    # coin flip (observed normalized spread ~0.70-0.90 across a day), so
+    # BASELINE.md reports the across-runs median too
+    run_rec = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "label": "current",
+        "median8": round(med8, 1), "median32": round(med32, 1),
+        "raw": round(eff, 4), "cpu_ceiling": cpu_ceiling,
+        "normalized": round(normalized, 4),
+        "normalized_paired": round(paired_norm, 4),
+        "paired_rounds": [round(p, 4) for p in paired],
+    }
+    with open("BENCH/runs.jsonl", "a") as rf:
+        rf.write(json.dumps(run_rec) + "\n")
+    with open("BENCH/runs.jsonl") as rf:
+        history = [json.loads(l) for l in rf if l.strip()]
+    import statistics as _st
+
+    cur = [r for r in history if r.get("label", "current") == "current"]
+    hist_norm = round(
+        _st.median(r.get("normalized_paired", r["normalized"]) for r in cur), 4
+    )
+    hist_raw = round(_st.median(r["raw"] for r in cur), 4)
+    hist_rate32 = round(_st.median(r["median32"] for r in cur), 0)
+
+    def _row(r):
+        p = f"{r['normalized_paired']:.3f}" if "normalized_paired" in r else "—"
+        return (
+            f"| {r['ts']} | {r.get('label', 'current')} | {r['median8']:.0f} | "
+            f"{r['median32']:.0f} | {r['raw']:.3f} | {r['cpu_ceiling']:.3f} | "
+            f"{r['normalized']:.3f} | {p} |"
+        )
+
+    history_table = "\n".join(_row(r) for r in history)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
@@ -255,8 +303,7 @@ def main_scaling(trials: int | None = None) -> None:
             f"**{cpu_ceiling:.3f}** |\n"
             f"| memcpy burn ({8} MB buffer copies) | **{memcpy_floor:.3f}** |\n\n"
             f"**Normalized efficiency = {eff:.3f} / {cpu_ceiling:.3f} = "
-            f"{normalized:.3f}** ({'MEETS' if normalized >= 0.8 else 'below'} "
-            "the ≥ 0.8 target) — the fraction of this hardware's achievable\n"
+            f"{normalized:.3f}** (this run) — the fraction of this hardware's achievable\n"
             "scaling the pipeline realizes.  Note the pure-CPU ceiling means\n"
             "even a perfectly compute-bound, zero-communication job cannot\n"
             "show raw ≥ 0.8 on this box 8→32 — the normalization is the\n"
@@ -265,13 +312,42 @@ def main_scaling(trials: int | None = None) -> None:
             "pipeline's memory-traffic share (payload bytes crossing parquet\n"
             "decode → Arrow → Python pipe), which on a real 4N-executor\n"
             "cluster is paid from 4× the aggregate memory bandwidth and does\n"
-            "not serialise scaling.  Plan-shape evidence that the job itself\n"
+            "not serialise scaling.\n\n"
+            "## Protocol-run history (current kernel + config)\n\n"
+            "Every `bench.py --scaling` invocation appends to\n"
+            "BENCH/runs.jsonl; the across-runs MEDIAN is the number to\n"
+            "read — hypervisor neighbours move single runs by ±25%:\n\n"
+            "| run (UTC) | kernel | docs/s @8 | docs/s @32 | raw | cpu ceiling | normalized | paired |\n"
+            "|---|---|---|---|---|---|---|---|\n"
+            f"{history_table}\n\n"
+            "('paired' = median over rounds of the per-ROUND spark ratio /\n"
+            "calibration ratio — each round's ceiling sample runs seconds\n"
+            "before its spark sample, so this estimator cancels\n"
+            "noise-window drift that independent series medians cannot.)\n\n"
+            f"**Across {len(cur)} current-kernel run(s): median raw "
+            f"{hist_raw:.3f}, median normalized {hist_norm:.3f} "
+            f"({'MEETS' if hist_norm >= 0.8 else 'below'} the ≥ 0.8 target "
+            "on the single-box proxy), "
+            f"median local[32] rate {hist_rate32:.0f} docs/s.**\n\n"
+            "Read the table as a whole: the r3-early rows are the SAME\n"
+            "plan, same input, with a ~2× slower per-document kernel — it\n"
+            "scales at 0.89-0.90 normalized.  The current kernel doubles\n"
+            "throughput and the ratio falls: per-document compute no\n"
+            "longer hides the per-document serialization overhead\n"
+            "(parquet→Arrow→Python pipe), which is the one term a single\n"
+            "box CANNOT scale (shared memory bus) and a 4N-executor\n"
+            "cluster pays from 4× the aggregate bandwidth.  The plan has\n"
+            "no structural bottleneck — the slow-kernel rows prove it —\n"
+            "and shipping the slower kernel to flatter the proxy ratio\n"
+            "would be optimizing the metric against the user.\n\n"
+            "Plan-shape evidence that the job itself\n"
             "has no scaling bottleneck:\n\n"
             "* map-only extraction — the payload column never crosses a\n"
-            "  shuffle (scan → MapInPandas, ZERO Exchange in the plan;\n"
+            "  shuffle (scan → MapInArrow, ZERO Exchange in the plan;\n"
             "  ReadSchema prunes to url/warc_ts/html/lang);\n"
-            "* split-size task granularity (2 MB → ~4 waves/core) for\n"
-            "  finish-time balancing against per-document cost variance;\n"
+            "* split-size task granularity (1 MB → ≥4 task waves at 32\n"
+            "  cores) for finish-time balancing against per-document cost\n"
+            "  variance — measured +9%@32 / +8%@8 over 2 MB splits;\n"
             "* page-level parallelism for documents too large for\n"
             "  one-doc-per-task (pipeline/paged.py);\n"
             "* numbering = two-phase dense rank over a pinned pruned key\n"
@@ -288,7 +364,9 @@ def main_scaling(trials: int | None = None) -> None:
             "| round-1 optimised | 6,534 | 0.515 |\n"
             "| round-2, gates off (`SPARK_GRAFT_DISABLE_GATES=1`) | ~10,900 | ~0.74 |\n"
             "| round-2 (mapInPandas) | 13,820 | 0.549 |\n"
-            "| round-3 (mapInArrow, pandas skipped both ways) | "
+            "| round-3 early (mapInArrow, pandas skipped both ways) | 18,325 | 0.646 |\n"
+            "| round-3 final (+2× kernel: keyword prefilter, token/page/\n"
+            "  stream memos; 1 MB splits = 4 waves at 32 cores) | "
             f"{med32:.0f} | {eff:.3f} |\n\n"
             "Faster COMPUTE reduces the single-box ratio while multiplying\n"
             "real throughput — optimising for the proxy ratio would mean\n"
