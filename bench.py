@@ -257,11 +257,20 @@ def main_scaling(trials: int | None = None) -> None:
     import statistics as _st
 
     cur = [r for r in history if r.get("label", "current") == "current"]
-    hist_norm = round(
-        _st.median(r.get("normalized_paired", r["normalized"]) for r in cur), 4
-    )
-    hist_raw = round(_st.median(r["raw"] for r in cur), 4)
-    hist_rate32 = round(_st.median(r["median32"] for r in cur), 0)
+    # prefer runs that carry the per-round paired estimator (it cancels
+    # window drift the older medians-of-series runs cannot); fall back to
+    # the mixed pool while fewer than 3 paired runs exist
+    paired_runs = [r for r in cur if "normalized_paired" in r]
+    if len(paired_runs) >= 3:
+        agg, agg_kind = paired_runs, "paired-normalized"
+        hist_norm = round(_st.median(r["normalized_paired"] for r in agg), 4)
+    else:
+        agg, agg_kind = cur, "normalized (mixed estimators)"
+        hist_norm = round(
+            _st.median(r.get("normalized_paired", r["normalized"]) for r in agg), 4
+        )
+    hist_raw = round(_st.median(r["raw"] for r in agg), 4)
+    hist_rate32 = round(_st.median(r["median32"] for r in agg), 0)
 
     def _row(r):
         p = f"{r['normalized_paired']:.3f}" if "normalized_paired" in r else "—"
@@ -324,8 +333,9 @@ def main_scaling(trials: int | None = None) -> None:
             "calibration ratio — each round's ceiling sample runs seconds\n"
             "before its spark sample, so this estimator cancels\n"
             "noise-window drift that independent series medians cannot.)\n\n"
-            f"**Across {len(cur)} current-kernel run(s): median raw "
-            f"{hist_raw:.3f}, median normalized {hist_norm:.3f} "
+            f"**Across {len(agg)} current-kernel run(s) "
+            f"({agg_kind}): median raw {hist_raw:.3f}, median normalized "
+            f"{hist_norm:.3f} "
             f"({'MEETS' if hist_norm >= 0.8 else 'below'} the ≥ 0.8 target "
             "on the single-box proxy), "
             f"median local[32] rate {hist_rate32:.0f} docs/s.**\n\n"
