@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import traceback
 
+from archvisier_spark.kernel.charset import decode_payload
 from archvisier_spark.kernel.html_extract import extract_main_text
 from archvisier_spark.kernel.pdf import pdf_page_texts
 from archvisier_spark.kernel.sniffer import (
@@ -98,7 +99,10 @@ def extract_document_text(payload: bytes | None, language: str = "auto") -> tupl
     if fmt == FORMAT_PDF:
         text, status = extract_pdf_text(payload, language)
         return text, status, fmt
-    raw = payload.decode("utf-8", errors="ignore")
+    # charset-sniffed decode (BOM → meta prescan → utf-8): legacy Polish
+    # pages ship ISO-8859-2/windows-1250, UTF-16 arrives with BOMs; plain
+    # utf-8 payloads decode byte-identically to the old utf-8 path
+    raw = decode_payload(payload)
     if fmt == FORMAT_HTML:
         try:
             return extract_main_text(raw), STATUS_OK, fmt

@@ -25,4 +25,14 @@ def sniff_format(payload: bytes | None) -> str:
     head = payload[:4096].lstrip().lower()
     if head[:1] == b"<" or b"<html" in head or b"<!doctype" in head:
         return FORMAT_HTML
+    # BOM'd payloads hide their markup behind multi-byte encodings
+    # (UTF-16 '<' is 3C 00) — decode the head and re-check
+    from archvisier_spark.kernel.charset import detect_bom
+
+    codec, bom_len = detect_bom(payload)
+    if codec is not None:
+        decoded_head = payload[bom_len:4096].decode(codec, errors="ignore")
+        stripped = decoded_head.lstrip().lower()
+        if stripped[:1] == "<" or "<html" in stripped or "<!doctype" in stripped:
+            return FORMAT_HTML
     return FORMAT_TEXT

@@ -120,3 +120,48 @@ def test_errors_are_rows_not_failures(spark):
     assert rows["u1"]["extracted_text"] == "BŁĄD: Plik PDF jest pusty lub uszkodzony."
     assert rows["u2"]["format"] == "empty"
     assert rows["u2"]["extracted_text"] == ""
+
+
+def test_arrow_equals_pandas_on_adversarial_payloads(spark):
+    """The mapInArrow hot path must match the mapInPandas variant
+    byte-for-byte on hostile inputs: null payloads, invalid utf-8, NUL
+    bytes, BOM'd utf-16 HTML, legacy-codec HTML, truncated PDF magic,
+    and a multi-hundred-KB document."""
+    import pandas as pd
+
+    big_html = (
+        "<html><body>"
+        + "".join(f"<p>paragraph {i} with enough characters to survive the "
+                  f"block length gate easily</p>" for i in range(2000))
+        + "</body></html>"
+    )
+    payloads = [
+        None,
+        b"",
+        b"\x00\x01\x02\xff\xfe",
+        b"plain text with invalid \xff\xfe bytes inside",
+        b"\xff\xfe" + "<html><body><p>utf-16 dokument zażółć with plenty of text here</p></body></html>".encode("utf-16-le"),
+        "<html><head><meta charset=\"iso-8859-2\"></head><body><p>Zażółć gęślą jaźń long enough paragraph content</p></body></html>".encode("iso-8859-2"),
+        b"%PDF-",
+        b"%PDF-1.4\nstream\n(tekst) Tj\nendstream\n",
+        big_html.encode(),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(len(payloads))],
+            "warc_ts": pd.to_datetime(["2025-03-01"] * len(payloads)),
+            "html": payloads,
+            "text": [""] * len(payloads),
+            "lang": ["pl"] * len(payloads),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = {r["url"]: r.asDict() for r in extract_documents(df, arrow=True, partitions=3).collect()}
+    p = {r["url"]: r.asDict() for r in extract_documents(df, arrow=False, partitions=3).collect()}
+    assert set(a) == set(p) and len(a) == len(payloads)
+    for url in a:
+        assert a[url] == p[url], url
+    # sanity on the content itself
+    assert a["u4"]["format"] == "html" and "utf-16 dokument" in a["u4"]["extracted_text"]
+    assert "Zażółć gęślą jaźń" in a["u5"]["extracted_text"]
+    assert a["u8"]["n_chars"] > 100_000
