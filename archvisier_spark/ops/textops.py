@@ -4,7 +4,9 @@ Covers the reference's scalar text tier re-expressed on Spark built-ins
 (F2 header slice, F6 needs-value predicate, X10 lang heuristic, A3
 group-concat, A4 quality score) plus the training-data-pipeline operators
 the 100 TB use-case needs: token counting, quality scoring, language ID.
-All are JVM-side expressions — no Python in these plans.
+All are JVM-side expressions — no Python in these plans — except NFC
+normalization, where no JVM built-in exposes ICU normalization and the
+sanctioned escape hatch is one Arrow-batched pandas UDF.
 """
 
 from __future__ import annotations
@@ -358,8 +360,53 @@ GROUP BY doc_id
 """
 
 
+# --- Unicode NFC normalization (dedup preprocessing tier) ---
+
+import pandas as _pd
+
+from pyspark.sql import types as _T
+
+
+@F.pandas_udf(_T.StringType())
+def nfc_normalize_udf(texts: _pd.Series) -> _pd.Series:
+    import unicodedata
+
+    return _pd.Series(
+        [unicodedata.normalize("NFC", t) if t is not None else None for t in texts]
+    )
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization before hashing/dedup — the standard
+    LLM-pipeline preprocessing step (visually identical text with
+    different codepoint sequences must hash identically).  No JVM
+    built-in exposes ICU normalization, so this is the sanctioned
+    Arrow-batched escape hatch: one vectorized pandas UDF over
+    ``unicodedata.normalize`` (stdlib), everything around it built-ins.
+    Output marks which docs CHANGED under NFC plus the md5 of the
+    canonical form — the digest exact-dedup would group on."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    nfc = nfc_normalize_udf("text")
+    return docs.select(
+        "doc_id",
+        F.md5(nfc).alias("nfc_digest"),
+        (nfc != F.col("text")).alias("changed_by_nfc"),
+        F.length(nfc).alias("n_chars_nfc"),
+    )
+
+
+_NFC_SQL = """
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS nfc_digest,
+       nfc_normalize(text) <> text AS changed_by_nfc,
+       length(nfc_normalize(text)) AS n_chars_nfc
+FROM documents WHERE doc_id < 400
+"""
+
+
 QUERIES = {
     "text_lang_heuristic": q_lang_heuristic,
+    "text_nfc_normalize": q_nfc_normalize,
     "x2_date_cascade_native": q_date_cascade_native,
     "text_header_tokens": q_header_tokens,
     "text_quality_scores": q_quality_scores,
@@ -371,6 +418,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_nfc_normalize": _NFC_SQL,
     "text_bpe_token_counts": _BPE_TOKEN_SQL,
     "x9_dictionary_correction": _DICTIONARY_CORRECTION_SQL,
     "text_lang_heuristic": _LANG_SQL,
