@@ -13,9 +13,13 @@ module implements the classic two-phase dense-rank:
      them on the driver, broadcast the offsets back, add.
 
 The full-width payload never moves through the numbering shuffle; numbers
-re-attach with an equi-join on the unique key.  AQE partition coalescing
-is safe here: merged range partitions stay contiguous, so offsets remain
-correct.
+re-attach with an equi-join on the unique key.  That re-attach join is
+the one place the payload crosses a shuffle (hash by key on both sides) —
+at 10^12 rows it is a single well-partitioned co-shuffle, the standard
+price of attaching a global rank; an Iceberg table with a url sort order
+would eliminate it (ranks become a metadata-only merge on sorted scans).
+AQE partition coalescing is safe here: merged range partitions stay
+contiguous, so offsets remain correct.
 """
 
 from __future__ import annotations
