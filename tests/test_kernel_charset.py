@@ -78,3 +78,33 @@ def test_invalid_bytes_are_ignored_not_fatal():
     text, status, fmt = extract_document_text(payload)
     assert status == STATUS_OK and fmt == FORMAT_HTML
     assert "ok block" in text
+
+
+def test_charset_roundtrip_property():
+    """Property: text from a Polish+ascii alphabet, wrapped in HTML with a
+    matching meta declaration and encoded in any supported legacy/unicode
+    codec, is recovered exactly by the full extraction path."""
+    import random
+
+    rng = random.Random(31337)
+    alphabet = "abcdefgh ąćęłńóśżź ABCDE 0123456789"
+    encodings = [
+        ("utf-8", '<meta charset="utf-8">', False),
+        ("iso-8859-2", '<meta charset="iso-8859-2">', False),
+        ("windows-1250", '<meta http-equiv="Content-Type" content="text/html; charset=windows-1250">', False),
+        ("utf-16-le", "", True),   # BOM carries the declaration
+        ("utf-16-be", "", True),
+    ]
+    import codecs
+
+    boms = {"utf-16-le": codecs.BOM_UTF16_LE, "utf-16-be": codecs.BOM_UTF16_BE}
+    for _ in range(60):
+        body = "".join(rng.choice(alphabet) for _ in range(rng.randint(40, 160))).strip()
+        if not body or len(body) < 30:
+            continue
+        enc, meta, bom = encodings[rng.randrange(len(encodings))]
+        html = f"<html><head>{meta}</head><body><p>{body}</p></body></html>"
+        payload = (boms[enc] if bom else b"") + html.encode(enc)
+        text, status, fmt = extract_document_text(payload)
+        assert (status, fmt) == (STATUS_OK, FORMAT_HTML), (enc, body)
+        assert text == body, (enc, body)
