@@ -1,19 +1,38 @@
 """Driver-contract operator inventory (SURVEY.md §2 → queries()/oracle_sql()).
 
 Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
-and ``ORACLES: dict[name, sql]`` (ANSI SQL for DuckDB over the same parquet
-views).  Names and column aliases MUST match pairwise — the driver's
-compare sorts columns by name and value-hashes.
+and ``ORACLES: dict[name, sql | () -> sql|None]`` (ANSI SQL for DuckDB over
+the same parquet views).  Names and column aliases MUST match pairwise —
+the driver's compare sorts columns by name and value-hashes.
+
+Lazy oracles: entries may be zero-arg callables, resolved by
+:func:`all_oracles` on the DRIVER at lookup time.  The expensive
+generators (a DuckDB corpus scan + pure-Python XXH64 over every distinct
+token, or stub-encoding 150 docs) must NOT run at import time — these
+modules also define module-level pandas_udfs that cloudpickle serialises
+by reference, so every executor Python worker re-imports the module; an
+import-time scan would re-run on every worker (round-3 ADVICE).  A
+callable returning ``None`` means "corpus not on disk" → rows-only check.
+
+The registry holds exactly 50 queries — the driver's correctness harness
+records only the first 50, so the count is pinned by
+tests/test_driver_contract.py (round-3 verdict: 53 registered silently
+clipped 3 off the scoreboard).
 
 Float discipline: every double aggregate is ``round(…, N)`` on BOTH sides
 so summation-order LSB noise can't flip the hash.
 """
 
 from archvisier_spark.ops import (
-    tpch, textops, dedup, simsearch, events, cascade_ops, multimodal, context_ops,
+    tpch, textops, dedup, simsearch, events, cascade_ops, context_ops, multimodal,
 )
 
-_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, multimodal, context_ops)
+# context_ops ahead of multimodal: if the registry ever grows past the
+# driver's 50-query window again, the flagship roundtrip + context oracles
+# must not be the ones that fall off the scoreboard.
+_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, context_ops, multimodal)
+
+DRIVER_QUERY_WINDOW = 50
 
 
 def all_queries():
@@ -29,5 +48,9 @@ def all_queries():
 def all_oracles():
     out = {}
     for mod in _MODULES:
-        out.update(mod.ORACLES)
+        for name, sql in mod.ORACLES.items():
+            if callable(sql):
+                sql = sql()
+            if sql is not None:
+                out[name] = sql
     return out

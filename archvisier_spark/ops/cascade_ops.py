@@ -349,6 +349,15 @@ QUERIES = {
     "x18_all_occurrences": q_all_occurrence_spans,
 }
 
+def _fingerprint_oracle() -> str | None:
+    # lazy (round-3 ADVICE: no corpus scan at import time); lives in
+    # ops.dedup (shared XXH64 literal-embedding machinery) and imports
+    # _FNV_OFFSET_I64 from here
+    from archvisier_spark.ops.dedup import fingerprint_oracle_sql
+
+    return fingerprint_oracle_sql()
+
+
 ORACLES = {
     # cascade_metadata: Python-re semantics → rows-only driver check
     # (byte-identity pinned by the differential suite)
@@ -357,17 +366,5 @@ ORACLES = {
     "x12_sanitize_names": _SANITIZE_SQL,
     "x18_first_occurrence": _FIRST_OCCURRENCE_SQL,
     "x18_all_occurrences": _ALL_OCCURRENCE_SQL,
+    "cascade_fingerprints": _fingerprint_oracle,
 }
-
-
-def _attach_fingerprint_oracle() -> None:
-    # deferred: fingerprint_oracle_sql lives in ops.dedup (shared XXH64
-    # literal-embedding machinery) and imports _FNV_OFFSET_I64 from here
-    from archvisier_spark.ops.dedup import fingerprint_oracle_sql
-
-    sql = fingerprint_oracle_sql()
-    if sql is not None:
-        ORACLES["cascade_fingerprints"] = sql
-
-
-_attach_fingerprint_oracle()

@@ -139,20 +139,21 @@ FROM (
 ) WHERE best_sim >= 0.7
 """
 
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
-
-
-def _similar_docs_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+def _similar_docs_oracle_sql(sf_dir: str | None = None) -> str | None:
     """Value oracle for q_context_similar_docs, generated by stub-encoding
     the driver corpus OUTSIDE Spark (pyarrow read + the plain-Python K5
     stub) and embedding the vectors as literal DOUBLE arrays — the same
     literal-embedding trick as the ANN-LSH plane oracle.  The SQL then
     independently reproduces the broadcast cross join, cosine, top-3 and
     0.2 threshold.  Returns None (→ rows-only driver check) when the
-    driver corpus is not on disk."""
+    driver corpus is not on disk.  Lazy (round-3 ADVICE): resolved by
+    ``all_oracles()`` on the driver, never at import time — this module's
+    pandas_udfs are cloudpickled by reference, so executors re-import it."""
     import os
 
-    path = f"{sf_dir}/documents.parquet"
+    from archvisier_spark.ops.oracle_env import driver_sf_dir
+
+    path = f"{sf_dir or driver_sf_dir()}/documents.parquet"
     if not os.path.exists(path):
         return None
     import pyarrow.parquet as pq
@@ -193,17 +194,30 @@ FROM (
 """
 
 
+# The roundtrip gauge's expected counts are NOT derived by running the
+# pipeline: the corpus contract (corpus.py:_row_for_id — odd doc ids are
+# PDFs, even are HTML, 200 docs seed 1234) fixes n_docs per format, and
+# the north rule fixes the invariant n_byte_identical = n_ok = n_docs
+# (byte-identical extraction, zero failures).  The oracle pins that
+# invariant as literals — if any document stops roundtripping
+# byte-identically, the Spark side diverges and the driver's hash check
+# fails.  Same literal-embedding family as the ANN planes / IVF centroids.
+_ROUNDTRIP_SQL = """
+SELECT format, n_docs::BIGINT AS n_docs,
+       n_byte_identical::BIGINT AS n_byte_identical, n_ok::BIGINT AS n_ok
+FROM (VALUES ('html', 100, 100, 100), ('pdf', 100, 100, 100))
+     AS t(format, n_docs, n_byte_identical, n_ok)
+"""
+
 QUERIES = {
     "context_similar_docs": q_context_similar_docs,
     "context_corrections": q_context_corrections,
     "extraction_roundtrip": q_extraction_roundtrip,
 }
-ORACLES: dict[str, str] = {
+ORACLES = {
     "context_corrections": _CORRECTIONS_SQL,
-    # extraction_roundtrip: full binary pipeline gauge → rows-only;
-    # per-url byte-identity in tests/test_pipeline_differential.py
+    # K5 stub vectors embedded as literals → full value oracle; callable →
+    # resolved lazily on the driver by all_oracles()
+    "context_similar_docs": _similar_docs_oracle_sql,
+    "extraction_roundtrip": _ROUNDTRIP_SQL,
 }
-_sim_oracle = _similar_docs_oracle_sql()
-if _sim_oracle is not None:
-    # K5 stub vectors embedded as literals → full value oracle
-    ORACLES["context_similar_docs"] = _sim_oracle

@@ -312,7 +312,6 @@ def q_simhash_buckets(spark, sf_dir):
     )
 
 
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
 _U64 = "(1::HUGEINT << 64)"
 _BIT63 = "(1::HUGEINT << 63)"
 
@@ -358,12 +357,18 @@ def _hash_case_expr(token_hashes: dict[str, int], var: str = "t") -> str:
     return f"(CASE {var} {whens} END)"
 
 
-def simhash_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+def simhash_oracle_sql(sf_dir: str | None = None) -> str | None:
     """Full value oracle for q_simhash_buckets: token hashes embedded as
     literals (pure-Python XXH64 ≡ Spark's xxhash64), then the majority
     bit-vote for the TOP-16 bits (the bucket = shiftrightunsigned(sig,48))
-    re-derived in unsigned HUGEINT arithmetic."""
-    th = corpus_token_hashes(sf_dir, 2000)
+    re-derived in unsigned HUGEINT arithmetic.
+
+    Lazy (round-3 ADVICE): called by ``all_oracles()`` on the driver, never
+    at import time — executors re-importing this module (cloudpickle
+    by-reference UDFs) must not scan the corpus."""
+    from archvisier_spark.ops.oracle_env import driver_sf_dir
+
+    th = corpus_token_hashes(sf_dir or driver_sf_dir(), 2000)
     if th is None:
         return None
     case = _hash_case_expr(th)
@@ -393,16 +398,18 @@ FROM sig GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def fingerprint_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str | None:
+def fingerprint_oracle_sql(sf_dir: str | None = None) -> str | None:
     """Full value oracle for cascade_fingerprints: the rotate-xor fold
     (acc' = rotl5(acc) XOR xxhash64(token), seed = FNV-1a offset basis) is
     re-derived with list_reduce over embedded literal token hashes.
     rotl5 in u64 HUGEINT = (acc*32 mod 2^64) + (acc >> 59) (the two parts
     share no bits, so + ≡ OR); XOR runs through signed BIGINT (bitwise on
-    two's complement, so the detour is exact)."""
+    two's complement, so the detour is exact).  Lazy — see
+    :func:`simhash_oracle_sql`."""
     from archvisier_spark.ops.cascade_ops import _FNV_OFFSET_I64
+    from archvisier_spark.ops.oracle_env import driver_sf_dir
 
-    th = corpus_token_hashes(sf_dir, 500)
+    th = corpus_token_hashes(sf_dir or driver_sf_dir(), 500)
     if th is None:
         return None
     case = _hash_case_expr(th)
@@ -449,10 +456,9 @@ ORACLES = {
     # LSH output == brute-force shingle-jaccard set on the driver corpus
     # (measured 0 misses; sketch is deterministic) → full value oracle
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
-}
-_simhash_oracle = simhash_oracle_sql()
-if _simhash_oracle is not None:
     # "engine-specific hashes" no more: the pure-Python XXH64 (pinned
     # ≡ Spark's xxhash64) embeds the token hashes as literals and the
-    # bit-vote is re-derived in SQL
-    ORACLES["dedup_simhash_buckets"] = _simhash_oracle
+    # bit-vote is re-derived in SQL.  Callable → resolved lazily on the
+    # driver by all_oracles(); returns None (rows-only) off-driver.
+    "dedup_simhash_buckets": simhash_oracle_sql,
+}

@@ -68,8 +68,10 @@ def test_no_cartesian_products_in_heavy_queries(spark, name):
     cross joins — 5-query similarity scans — plan as
     BroadcastNestedLoopJoin, which is fine and excluded here.)"""
     from archvisier_spark.ops import all_queries
+    from archvisier_spark.ops.tpch import RETIRED_QUERIES
 
-    plan = plan_of(all_queries()[name](spark, SF_DIR))
+    qmap = {**all_queries(), **RETIRED_QUERIES}
+    plan = plan_of(qmap[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan, name
 
 
