@@ -124,7 +124,20 @@ _AMP = "&"
 _WS_OR_QUOTE = " \t\n\r\f\"'"
 
 
-def _is_startendtag(token: str) -> bool:
+# stdlib attrfind attaches an unquoted value across whitespace around '='
+# (`name \s*=+\s* value`), absorbing a trailing '/' into the VALUE:
+# '<script src = x/>' is a START tag entering CDATA mode (round-3
+# ADVICE).  The absorption happens only when the '='-run is preceded by a
+# well-formed attribute NAME (first char not '='), itself preceded by a
+# whitespace/quote/slash boundary — mirror exactly that.
+_EQ_ABSORB_RE = _re.compile(r"""[\s"'/][^\s/>=][^\s/=>]*\s*=+\s*[^\s"'=]*$""")
+# '=' + whitespace + unquoted run at end WITHOUT a preceding attribute
+# name (e.g. '<a = x/>'): stdlib then treats '=' as a bare attribute and
+# the slash stands alone — rare and subtle, so defer to the oracle.
+_EQ_WS_VALUE_RE = _re.compile(r"=\s+[^\s\"'=]*$")
+
+
+def _is_startendtag(token: str) -> bool | None:
     """Does a tag token ending ``/>`` self-close per stdlib semantics?
 
     Mirrors ``HTMLParser.parse_starttag``: the trailing ``/`` is a
@@ -133,12 +146,24 @@ def _is_startendtag(token: str) -> bool:
     a start tag with ``href="x/"``).  The slash stands alone when the run
     since the last whitespace/quote boundary is the bare tag name, a bare
     attribute name, or empty — i.e. contains no ``=``.
+
+    Whitespace-adjacent ``=`` (``src = x/>``): stdlib's ``'\\s*=+\\s*'``
+    attachment absorbs the slash into the value when the ``=`` follows an
+    attribute NAME (→ ``False``, start tag); with no name to attach to
+    (``<a = x/>``) the semantics are subtler — returns ``None`` and the
+    caller bails to the stdlib oracle.
     """
     body = token[1:-2]
     i = max(body.rfind(ch) for ch in _WS_OR_QUOTE)
     if i == -1:
         return True  # '<name/>' — no attributes
-    return "=" not in body[i + 1:]
+    if "=" in body[i + 1:]:
+        return False  # '<a href=x/>': slash absorbed into the value
+    if _EQ_ABSORB_RE.search(body):
+        return False  # '<a href = x/>': absorbed across the whitespace
+    if _EQ_WS_VALUE_RE.search(body):
+        return None  # spaced '=' with no attribute name → defer to stdlib
+    return True
 
 
 def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
@@ -205,7 +230,12 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
                 # outside CDATA mode but as raw DATA inside it — bail to
                 # the oracle rather than replicate that mode split.
                 return None
-            if _is_startendtag(token):
+            se = _is_startendtag(token)
+            if se is None:
+                # '=' + whitespace + unquoted run before '/>' — stdlib
+                # value attachment is ambiguous here; use the oracle
+                return None
+            if se:
                 # XHTML self-closing tag: stdlib fires start+end
                 # back-to-back (handle_startendtag) and does NOT enter
                 # CDATA mode for script/style — ignore/a depths are

@@ -127,11 +127,15 @@ def _decode_pdf_string(raw: bytes) -> bytes:
 # Per-stream parse memo: scanned/OCR corpora repeat page content streams
 # (blank pages, stamped headers, and the corpus's ×500 repeated-page skew
 # documents tile ONE stream hundreds of times inside a payload).  Pure
-# function of the stream bytes → byte-identity unaffected; bounded by
-# entry count and per-stream size.
+# function of the stream bytes → byte-identity unaffected.  Bounded by
+# RETAINED BYTES, not entry count: an entry-count cap with 16 KB keys
+# admits ~256 MB of keys per Python worker, and local[32] runs one worker
+# per core — several GB per host (round-3 ADVICE).  32 MB × 32 workers
+# = 1 GB/host worst case, inside the executor Python memory share.
 _STREAM_MEMO: dict[bytes, str | None] = {}
-_STREAM_MEMO_CAP = 1 << 14
-_STREAM_MEMO_MAX_BYTES = 1 << 14
+_STREAM_MEMO_MAX_BYTES = 1 << 14   # per-stream admission cap
+_STREAM_MEMO_BUDGET = 32 << 20     # total retained key+value bytes/worker
+_stream_memo_bytes = 0             # running retained-size accumulator
 
 
 def _parse_stream(stream: bytes) -> str | None:
@@ -190,10 +194,14 @@ def pdf_page_texts(payload: bytes) -> list[str]:
             try:
                 text = _STREAM_MEMO[stream]
             except KeyError:
+                global _stream_memo_bytes
                 text = _parse_stream(stream)
-                if len(_STREAM_MEMO) >= _STREAM_MEMO_CAP:
+                size = len(stream) + 2 * len(text or "")  # key + ~UTF-16 str
+                if _stream_memo_bytes + size > _STREAM_MEMO_BUDGET:
                     _STREAM_MEMO.clear()
+                    _stream_memo_bytes = 0
                 _STREAM_MEMO[stream] = text
+                _stream_memo_bytes += size
         else:
             text = _parse_stream(stream)
         if text is not None:

@@ -179,6 +179,14 @@ def test_fast_tokenizer_differential_vs_stdlib():
                 if sc < 0.24:
                     parts.append(f"<{t} disabled/>")  # bare-attr self-close
                     continue
+                if sc < 0.28:
+                    # whitespace around '=' before '/>': stdlib absorbs
+                    # the slash into the value across the whitespace
+                    # (START tag) — the fast path must bail, not guess
+                    eq = rng.choice(["= ", " = ", " =", "=  "])
+                    parts.append(f"<{t} src {eq}x{rng.randint(0, 9)}/>")
+                    parts.append(f"</{t}>")
+                    continue
                 inner = "" if t == "br" else rand_html(depth + 1)
                 if t in ("script", "style"):
                     inner = "if (a<b) { x = '</div>'; } <p>not a tag"
@@ -225,6 +233,15 @@ def test_fast_tokenizer_self_closing_tags():
         # unquoted-value trap: stdlib parses these as START tags
         "<a href=x/>text inside an anchor that never closes here",
         "<div class=c/>text",
+        # round-3 ADVICE repro: whitespace around '=' before '/>' —
+        # stdlib absorbs the slash into the value, so the script body is
+        # CDATA and must NOT leak into extracted blocks
+        '<script src = x/>alert("hi")</script><p>real content</p>',
+        "<a href = y/>anchor text absorbed slash</a>after",
+        "<div id =z/>div text",
+        "<p class=  w/>para text</p>",
+        # quoted value after spaced '=' — slash stands alone (startend)
+        '<div id = "q"/>after quoted spaced eq',
     ]
     for c in cases:
         std = html_blocks_stdlib(c)
@@ -253,3 +270,27 @@ def test_fast_tokenizer_closing_slash_falls_back():
     ]:
         assert html_blocks_fast(c) is None
         assert html_blocks(c) == html_blocks_stdlib(c)
+
+
+def test_stream_memo_bounded_by_retained_bytes(monkeypatch):
+    """The parse memo must bound total RETAINED bytes, not entry count:
+    16 KB keys under an entry-count cap could retain ~256 MB per worker
+    (round-3 ADVICE).  With a tiny budget, distinct streams must trigger
+    eviction and the accumulator must track what the dict holds."""
+    from archvisier_spark.kernel import pdf as pdfmod
+    from archvisier_spark.kernel.pdf import build_pdf, pdf_page_texts
+
+    monkeypatch.setattr(pdfmod, "_STREAM_MEMO_BUDGET", 4096)
+    pdfmod._STREAM_MEMO.clear()
+    pdfmod._stream_memo_bytes = 0
+    for i in range(50):
+        # distinct single-page payloads → distinct streams → memo inserts
+        pages = pdf_page_texts(build_pdf([[f"linia numer {i} " + "x" * 100]]))
+        assert pages and f"linia numer {i}" in pages[0]
+        retained = sum(
+            len(k) + 2 * len(v or "") for k, v in pdfmod._STREAM_MEMO.items()
+        )
+        assert retained <= 4096 + (1 << 14), "memo exceeded byte budget"
+    assert pdfmod._stream_memo_bytes == sum(
+        len(k) + 2 * len(v or "") for k, v in pdfmod._STREAM_MEMO.items()
+    )
