@@ -423,6 +423,7 @@ def with_new_names(
     extracted: DataFrame,
     work_mode: str = "KP",
     keys_df: DataFrame | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Append ``lp`` (counter semantics, A2) and ``new_name`` (X14).
 
@@ -435,19 +436,34 @@ def with_new_names(
     extraction is 1-row-in→1-row-out, so input urls number the output —
     and the counting pre-pass then reads ONE pruned parquet column instead
     of re-running the extraction UDF.
+
+    ``assume_sorted``: the table is stored sorted by url (Iceberg url
+    sort order) — numbering then skips the payload re-attach join
+    entirely (``with_sequence_sorted``: offsets + in-partition record
+    index, zero payload Exchange).  The work_mode counter restart is
+    vacuous here (one constant mode per run), so the ungrouped fast path
+    is exact.  Raises ``ValueError`` if the claimed sort order doesn't
+    hold.
     """
-    keys = (
-        keys_df.select("url").withColumn("work_mode", F.lit(work_mode))
-        if keys_df is not None
-        else None
-    )
-    numbered = with_sequence(
-        extracted.withColumn("work_mode", F.lit(work_mode)),
-        order_col="url",
-        partition_cols=("work_mode",),
-        out_col="lp",
-        keys_df=keys,
-    )
+    if assume_sorted:
+        from archvisier_spark.pipeline.numbering import with_sequence_sorted
+
+        numbered = with_sequence_sorted(
+            extracted, order_col="url", out_col="lp", keys_df=keys_df
+        ).withColumn("work_mode", F.lit(work_mode))
+    else:
+        keys = (
+            keys_df.select("url").withColumn("work_mode", F.lit(work_mode))
+            if keys_df is not None
+            else None
+        )
+        numbered = with_sequence(
+            extracted.withColumn("work_mode", F.lit(work_mode)),
+            order_col="url",
+            partition_cols=("work_mode",),
+            out_col="lp",
+            keys_df=keys,
+        )
 
     @F.pandas_udf(T.StringType())
     def name_udf(

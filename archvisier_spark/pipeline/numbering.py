@@ -97,3 +97,117 @@ def with_sequence(
         .select(*key_cols, out_col)
     )
     return df.join(numbered, key_cols)
+
+
+_MID_IDX_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
+#                                are the record index within the partition
+
+
+def with_sequence_sorted(
+    df: DataFrame,
+    order_col: str = "url",
+    out_col: str = "lp",
+    keys_df: DataFrame | None = None,
+) -> DataFrame:
+    """Zero-payload-shuffle numbering for PRE-SORTED input — the Iceberg
+    sort-order fast path (round-3 verdict #5).
+
+    When the table is stored sorted by ``order_col`` (an Iceberg table
+    with a url sort order; each scan partition internally sorted, the
+    partitions' key ranges non-overlapping), the two-phase dense rank and
+    its payload re-attach join are pure overhead.  Instead:
+
+    1. one cheap pass over a NARROW key slice collects, per scan
+       partition: row count, min/max key, and an is-sorted flag
+       (one output row per partition — tiny);
+    2. the driver VALIDATES the sorted contract — every partition
+       internally sorted, ranges non-overlapping — and raises
+       ``ValueError`` otherwise (callers fall back to
+       :func:`with_sequence`); partitions are ordered by range-min (NOT
+       partition id: Spark's file-split planning orders splits by size
+       for bin-packing, so read order ≠ key order) and prefix-summed
+       into per-partition offsets;
+    3. ``out_col = offset[pid] + within-partition record index + 1``,
+       entirely JVM-side: ``spark_partition_id`` +
+       ``monotonically_increasing_id``'s low 33 bits + a broadcast join
+       of the tiny offset table.  The payload never crosses an Exchange
+       and never enters Python (plan-pinned by tests/test_plan_shapes).
+
+    ``keys_df``: same contract as :func:`with_sequence` — a cheap 1:1 key
+    source sharing ``df``'s scan lineage (the raw table under a map-only
+    transform).  BOTH passes must see the same partitioning: split
+    planning is deterministic for the same files and config, and a
+    narrow (map-only) transform preserves scan partitions, which is
+    exactly the extraction pipeline's shape.  A grouped restart
+    (``partition_cols``) is not offered here: a constant group (the
+    flagship's ``work_mode``) doesn't need one, and a genuinely varying
+    group interleaved with the sort order has no JVM-side
+    within-partition-per-group index — use :func:`with_sequence`.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    slim = (keys_df if keys_df is not None else df).select(order_col)
+    slim = slim.withColumn("__pid", F.spark_partition_id())
+
+    def part_stats(batches):
+        pid, cnt, mn, mx, ok, last = None, 0, None, None, True, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            vals = pdf[order_col]
+            if ok and not (
+                vals.is_monotonic_increasing
+                and (last is None or last <= vals.iloc[0])
+            ):
+                ok = False
+            last = vals.iloc[-1]
+            bmn, bmx = vals.min(), vals.max()
+            mn = bmn if mn is None or bmn < mn else mn
+            mx = bmx if mx is None or bmx > mx else mx
+            cnt += len(pdf)
+        if cnt:
+            yield pd.DataFrame(
+                {"pid": [pid], "cnt": [cnt], "mn": [mn], "mx": [mx], "ok": [ok]}
+            )
+
+    dtype = df.schema[order_col].dataType.simpleString()
+    stats = slim.mapInPandas(
+        part_stats, f"pid int, cnt long, mn {dtype}, mx {dtype}, ok boolean"
+    ).collect()
+    if not stats:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+
+    bad = [r["pid"] for r in stats if not r["ok"]]
+    if bad:
+        raise ValueError(
+            f"with_sequence_sorted: partitions {sorted(bad)[:5]} are not "
+            f"internally sorted by {order_col!r} — input lacks the sort "
+            "order; use with_sequence()"
+        )
+    ordered = sorted(stats, key=lambda r: r["mn"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        if prev["mx"] > cur["mn"]:
+            raise ValueError(
+                f"with_sequence_sorted: partition key ranges overlap "
+                f"({prev['mx']!r} > {cur['mn']!r}) — input is not "
+                f"range-partitioned by {order_col!r}; use with_sequence()"
+            )
+    offset_rows, running = [], 0
+    for r in ordered:
+        offset_rows.append((r["pid"], running))
+        running += r["cnt"]
+    offsets = spark.createDataFrame(offset_rows, ["__pid", "__offset"])
+
+    idx = F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_IDX_MASK))
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__idx", idx)
+        # left join: a pass-2 partition missing from the offset table
+        # (broken keys_df contract) surfaces as a NULL sequence number,
+        # never a silently dropped row
+        .join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(out_col, (F.col("__offset") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__offset")
+    )

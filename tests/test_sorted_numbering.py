@@ -1,0 +1,106 @@
+"""with_sequence_sorted — the Iceberg-sort-order numbering fast path.
+
+Differential vs with_sequence (identical lp assignment), plan shape
+(ZERO payload Exchange — the round-3 verdict #5 'done' criterion), and
+the sorted-contract validation (unsorted partitions / overlapping key
+ranges must raise, never silently misnumber)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from archvisier_spark.pipeline.numbering import with_sequence, with_sequence_sorted
+
+
+def sorted_urls_df(spark, n=400, parts=4):
+    """Range-partitioned, internally sorted frame: spark.range keeps
+    ascending contiguous id ranges per partition, and the zero-padded
+    url preserves numeric order lexicographically."""
+    return spark.range(0, n, 1, parts).select(
+        F.format_string("https://ex.org/doc%08d", F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("payload"),
+    )
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sorted_matches_two_phase_rank(spark):
+    df = sorted_urls_df(spark)
+    fast = {r["url"]: r["lp"] for r in with_sequence_sorted(df, "url").collect()}
+    slow = {r["url"]: r["lp"] for r in with_sequence(df, "url").collect()}
+    assert fast == slow
+    assert sorted(fast.values()) == list(range(1, 401))
+
+
+def test_sorted_path_has_zero_payload_exchange(spark):
+    out = with_sequence_sorted(sorted_urls_df(spark), "url")
+    plan = plan_of(out)
+    # the only exchange allowed is the broadcast of the tiny offset table
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sorted_path_single_file_parquet(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    sorted_urls_df(spark).coalesce(1).sortWithinPartitions("url").write.parquet(path)
+    df = spark.read.parquet(path)
+    out = with_sequence_sorted(df, "url").collect()
+    by_url = sorted(out, key=lambda r: r["url"])
+    assert [r["lp"] for r in by_url] == list(range(1, 401))
+
+
+def test_unsorted_partition_raises(spark):
+    df = spark.range(0, 100, 1, 2).select(
+        # descending within partition → violates the sort contract
+        F.format_string("doc%08d", F.lit(99) - F.col("id")).alias("url")
+    )
+    with pytest.raises(ValueError, match="not\\s+internally sorted"):
+        with_sequence_sorted(df, "url")
+
+
+def test_overlapping_ranges_raise(spark):
+    # round-robin repartition interleaves ids across partitions; each
+    # partition is then locally sorted but key ranges overlap
+    df = (
+        sorted_urls_df(spark, n=200, parts=2)
+        .repartition(3)
+        .sortWithinPartitions("url")
+    )
+    # repartition is a shuffle: partitions are locally sorted post-sort,
+    # so only the range-overlap check can reject this
+    with pytest.raises(ValueError, match="ranges overlap"):
+        with_sequence_sorted(df, "url")
+
+
+def test_empty_input_gets_null_lp(spark):
+    df = sorted_urls_df(spark).filter(F.lit(False))
+    out = with_sequence_sorted(df, "url")
+    assert out.count() == 0
+    assert dict(out.dtypes)["lp"] == "bigint"
+
+
+def test_with_new_names_assume_sorted_matches_default(spark, tmp_path):
+    """End-to-end flagship parity: extraction + numbering + naming over a
+    url-sorted corpus must produce identical (lp, new_name) under both
+    numbering strategies."""
+
+    from archvisier_spark.corpus import corpus_df
+    from archvisier_spark.pipeline.extract import extract_documents, with_new_names
+
+    base = corpus_df(spark, 60, seed=11, partitions=3).toPandas()
+    base = base.sort_values("url").reset_index(drop=True)
+    # a written-sorted single file reads back as one internally-sorted
+    # partition — the deterministic stand-in for an Iceberg sort order
+    # (repartitionByRange would re-sample split points per execution,
+    # which is the very nondeterminism with_sequence pins away)
+    path = str(tmp_path / "sorted_corpus")
+    spark.createDataFrame(base).coalesce(1).sortWithinPartitions("url").write.parquet(path)
+    docs = spark.read.parquet(path)
+    ext = extract_documents(docs)
+    fast = with_new_names(ext, keys_df=docs, assume_sorted=True)
+    slow = with_new_names(ext, keys_df=docs)
+    f = {r["url"]: (r["lp"], r["new_name"]) for r in fast.collect()}
+    s = {r["url"]: (r["lp"], r["new_name"]) for r in slow.collect()}
+    assert f == s
