@@ -7,11 +7,13 @@ a simplified WHATWG encoding sniff (html.spec.whatwg.org §13.2.3.2
 no HTML tier, SURVEY.md §7):
 
 1. **BOM** wins: UTF-8 / UTF-16LE/BE / UTF-32LE/BE signatures.
-2. Else a **meta prescan** of the first 1024 bytes for
+2. Else the **transport layer** (the HTTP/WARC ``Content-Type`` header a
+   Common-Crawl record carries, passed as ``declared``).
+3. Else a **meta prescan** of the first 1024 bytes for
    ``<meta … charset=…>`` (covers both the HTML5 form and the
    ``http-equiv`` content-type form, since ``charset=`` appears inside
    the content attribute either way).
-3. Else UTF-8.
+4. Else UTF-8.
 
 Per the WHATWG rules, a ``charset=utf-16*`` *declaration* (without BOM)
 is treated as UTF-8 — an ASCII-readable meta tag proves the bytes are
@@ -50,29 +52,65 @@ def detect_bom(payload: bytes) -> tuple[str | None, int]:
     return None, 0
 
 
-def sniff_charset(payload: bytes) -> str:
-    """Resolved python codec name for a web payload (never raises)."""
+# 'text/html; charset=ISO-8859-2' — the transport-layer form a WARC
+# Content-Type header carries; also accepts a bare label
+_HEADER_CHARSET = re.compile(r"charset\s*=\s*[\"']?([a-zA-Z0-9._\-]+)", re.IGNORECASE)
+
+
+def _resolve_label(name: str) -> str | None:
+    """WHATWG label normalization shared by the transport-layer and meta
+    paths: a ``utf-16*`` label without a BOM is read as UTF-8 (the label
+    was ASCII-readable, so the bytes aren't UTF-16 — spec §13.2.3.3, the
+    same note applies to the unreliable transport claim), and
+    ``x-user-defined`` maps to windows-1252.  ``None`` for labels Python
+    has no codec for (caller falls through to the next precedence step)."""
+    name = name.strip().strip("\"'").lower()
+    if not name:
+        return None
+    if name.startswith("utf-16") or name.startswith("utf16"):
+        return "utf-8"
+    if name == "x-user-defined":
+        return "windows-1252"
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        return None
+
+
+def charset_from_declaration(declared: str | None) -> str | None:
+    """Transport-layer charset (HTTP/WARC ``Content-Type``): accepts the
+    full header value or a bare label; ``None`` when absent/unusable."""
+    if not declared:
+        return None
+    m = _HEADER_CHARSET.search(declared)
+    label = m.group(1) if m else (None if "/" in declared or ";" in declared else declared)
+    return _resolve_label(label) if label else None
+
+
+def sniff_charset(payload: bytes, declared: str | None = None) -> str:
+    """Resolved python codec name for a web payload (never raises).
+
+    WHATWG §13.2.3 precedence: BOM → transport layer (``declared``, an
+    HTTP/WARC Content-Type header value or bare label) → 1024-byte meta
+    prescan → UTF-8."""
     codec, _ = detect_bom(payload)
+    if codec is not None:
+        return codec
+    codec = charset_from_declaration(declared)
     if codec is not None:
         return codec
     m = _META_CHARSET.search(payload[:PRESCAN_BYTES])
     if m:
-        name = m.group(1).decode("ascii", errors="ignore").strip().lower()
-        if name.startswith("utf-16") or name.startswith("utf16"):
-            return "utf-8"  # WHATWG: utf-16 *label* without BOM → utf-8
-        if name == "x-user-defined":
-            return "windows-1252"
-        try:
-            codecs.lookup(name)
-            return name
-        except LookupError:
-            pass
+        codec = _resolve_label(m.group(1).decode("ascii", errors="ignore"))
+        if codec is not None:
+            return codec
     return "utf-8"
 
 
-def decode_payload(payload: bytes) -> str:
+def decode_payload(payload: bytes, declared: str | None = None) -> str:
     """Charset-sniffed decode, BOM stripped, undecodable bytes ignored."""
     codec, bom_len = detect_bom(payload)
     if codec is not None:
         return payload[bom_len:].decode(codec, errors="ignore")
-    return payload.decode(sniff_charset(payload), errors="ignore")
+    return payload.decode(sniff_charset(payload, declared), errors="ignore")

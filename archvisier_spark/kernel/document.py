@@ -91,18 +91,26 @@ def extract_pdf_text(
         return f"{OCR_ERROR_PREFIX}{e}", traceback.format_exc()
 
 
-def extract_document_text(payload: bytes | None, language: str = "auto") -> tuple[str, str, str]:
-    """Dispatch on sniffed format; returns ``(text, status, format)``."""
+def extract_document_text(
+    payload: bytes | None,
+    language: str = "auto",
+    declared_charset: str | None = None,
+) -> tuple[str, str, str]:
+    """Dispatch on sniffed format; returns ``(text, status, format)``.
+
+    ``declared_charset``: the transport-layer charset claim (an HTTP/WARC
+    ``Content-Type`` header value or bare label) — WHATWG precedence
+    slots it between BOM and meta prescan (kernel/charset.py)."""
     fmt = sniff_format(payload)
     if fmt == FORMAT_EMPTY:
         return "", STATUS_OK, fmt
     if fmt == FORMAT_PDF:
         text, status = extract_pdf_text(payload, language)
         return text, status, fmt
-    # charset-sniffed decode (BOM → meta prescan → utf-8): legacy Polish
-    # pages ship ISO-8859-2/windows-1250, UTF-16 arrives with BOMs; plain
-    # utf-8 payloads decode byte-identically to the old utf-8 path
-    raw = decode_payload(payload)
+    # charset-sniffed decode (BOM → header → meta prescan → utf-8): legacy
+    # Polish pages ship ISO-8859-2/windows-1250, UTF-16 arrives with BOMs;
+    # plain utf-8 payloads decode byte-identically to the old utf-8 path
+    raw = decode_payload(payload, declared_charset)
     if fmt == FORMAT_HTML:
         try:
             return extract_main_text(raw), STATUS_OK, fmt

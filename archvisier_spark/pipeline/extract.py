@@ -142,7 +142,8 @@ def _build_provider(entity_rules):
 
 
 def make_extract_batch(language: str, work_mode: str, case_signature: str,
-                       entity_rules=None, llm_tier=None):
+                       entity_rules=None, llm_tier=None,
+                       use_content_type: bool = False):
     """Build the mapInPandas function (closure keeps config serialisable)."""
     provider = _build_provider(entity_rules)
 
@@ -151,11 +152,12 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str,
             # column-wise accumulation: cheaper pandas/Arrow materialisation
             # than a list of per-row dicts
             cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
-            for url, warc_ts, html, lang in zip(
-                batch["url"], batch["warc_ts"], batch["html"], batch["lang"]
+            cts = batch["content_type"] if use_content_type else [None] * len(batch)
+            for url, warc_ts, html, lang, ct in zip(
+                batch["url"], batch["warc_ts"], batch["html"], batch["lang"], cts
             ):
                 payload = bytes(html) if html is not None else None
-                text, status, fmt = extract_document_text(payload, language)
+                text, status, fmt = extract_document_text(payload, language, ct)
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   len(payload) if payload else 0,
                                   work_mode, case_signature,
@@ -202,7 +204,8 @@ def _arrow_out_schema(in_schema):
 
 
 def make_extract_arrow(language: str, work_mode: str, case_signature: str,
-                       entity_rules=None, llm_tier=None):
+                       entity_rules=None, llm_tier=None,
+                       use_content_type: bool = False):
     """mapInArrow variant of :func:`make_extract_batch` — identical kernel
     calls, minimal memory traffic: the pandas materialisation is skipped on
     BOTH sides, and the columns the kernel never touches (url array for
@@ -221,10 +224,17 @@ def make_extract_arrow(language: str, work_mode: str, case_signature: str,
                 out_schema = _arrow_out_schema(batch.schema)
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
+            # transport-layer charset (WARC Content-Type), when the table
+            # carries it — WHATWG precedence BOM → header → meta prescan
+            cts = (
+                batch.column("content_type").to_pylist()
+                if use_content_type
+                else [None] * len(urls)
+            )
             cols: dict[str, list] = {name: [] for name in computed}
-            for url, html in zip(urls, htmls):
+            for url, html, ct in zip(urls, htmls, cts):
                 payload = bytes(html) if html is not None else None
-                text, status, fmt = extract_document_text(payload, language)
+                text, status, fmt = extract_document_text(payload, language, ct)
                 info = extract_info_from_text(text, url, work_mode, case_signature,
                                               entity_provider=provider,
                                               llm_tier=llm_tier)
@@ -324,7 +334,11 @@ def extract_documents(
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    cols = df.select("url", "warc_ts", "html", "lang")
+    # optional transport-layer charset column (WARC Content-Type header):
+    # propagated into the decode when the table carries it
+    has_ct = "content_type" in df.columns
+    in_cols = ["url", "warc_ts", "html", "lang"] + (["content_type"] if has_ct else [])
+    cols = df.select(*in_cols)
 
     def run(frame: DataFrame) -> DataFrame:
         if shuffle:
@@ -333,10 +347,12 @@ def extract_documents(
             # mapInArrow: same kernel, no pandas materialisation, untouched
             # columns pass through as the input's own Arrow buffers
             fn = make_extract_arrow(language, work_mode, case_signature,
-                                    entity_rules, llm_tier)
+                                    entity_rules, llm_tier,
+                                    use_content_type=has_ct)
             return frame.mapInArrow(fn, EXTRACT_SCHEMA)
         fn = make_extract_batch(language, work_mode, case_signature,
-                                entity_rules, llm_tier)
+                                entity_rules, llm_tier,
+                                use_content_type=has_ct)
         return frame.mapInPandas(fn, EXTRACT_SCHEMA)
 
     if paged_threshold is not None:

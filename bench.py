@@ -104,7 +104,58 @@ def throughput_once(master: str) -> dict:
     }
 
 
-BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# 7 ops trials: at this VM's documented ±50% noise, 3 trials could not
+# adjudicate multi-second deltas (round-3 verdict #3).  The extraction
+# pipeline runs fewer trials — its measured spread is small (<5% of the
+# median) and each run costs ~20 s.
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "7"))
+EXTRACT_TRIALS = int(os.environ.get("SPARK_GRAFT_EXTRACT_TRIALS", "3"))
+# interleaved current-vs-r2-plan rounds for dedup_minhash_lsh (the
+# round-3 open question); 0 disables
+PAIRED_ROUNDS = int(os.environ.get("SPARK_GRAFT_PAIRED_ROUNDS", "5"))
+
+
+def _iqr(samples: list[float]) -> float:
+    import statistics
+
+    if len(samples) < 4:
+        return max(samples) - min(samples)
+    q1, _, q3 = statistics.quantiles(samples, n=4)
+    return q3 - q1
+
+
+def paired_minhash(spark) -> dict:
+    """Interleaved A/B of the current minhash plan vs the round-2 plan in
+    ONE session (same estimator as the scaling protocol): per-round ratio
+    current/legacy, median over rounds — cancels noise-window drift that
+    across-session medians cannot.  Alternates run order each round so
+    JVM/cache warmth doesn't systematically favour one side."""
+    import statistics
+
+    from archvisier_spark.ops.dedup import q_minhash_lsh_dedup, q_minhash_lsh_dedup_r2
+
+    def run(fn) -> float:
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        return time.time() - t0
+
+    cur, legacy = [], []
+    for rnd in range(PAIRED_ROUNDS):
+        order = (
+            [(cur, q_minhash_lsh_dedup), (legacy, q_minhash_lsh_dedup_r2)]
+            if rnd % 2 == 0
+            else [(legacy, q_minhash_lsh_dedup_r2), (cur, q_minhash_lsh_dedup)]
+        )
+        for bucket, fn in order:
+            bucket.append(run(fn))
+    ratios = [c / l for c, l in zip(cur, legacy)]
+    return {
+        "rounds": PAIRED_ROUNDS,
+        "current_median_sec": round(statistics.median(cur), 3),
+        "r2_plan_median_sec": round(statistics.median(legacy), 3),
+        "ratio_current_over_r2_median": round(statistics.median(ratios), 4),
+        "ratios": [round(r, 4) for r in ratios],
+    }
 
 
 def main_bench() -> None:
@@ -112,7 +163,10 @@ def main_bench() -> None:
     ±20%+ run noise, so single-shot per-query numbers read as regressions
     that aren't (round-2 verdict).  Trials interleave across the whole
     query set (q1..qn, q1..qn, ...) so a noisy window hits every query,
-    not one."""
+    not one.  ``query_spread_sec`` is the INTERQUARTILE range over trials
+    (the robust spread matching the median estimator; max−min grows with
+    trial count and one hypervisor stall poisons it); ``query_minmax_sec``
+    keeps the full range for reference."""
     import statistics
 
     from archvisier_spark.session import get_spark
@@ -127,36 +181,38 @@ def main_bench() -> None:
     for name in BENCH_OPS:
         samples[name] = []
 
-    for _trial in range(BENCH_TRIALS):
-        ex_sec, n_docs = run_extraction(spark)
-        samples["extract_corpus"].append(ex_sec)
-        docs_per_sec.append(n_docs / ex_sec)
+    for trial in range(BENCH_TRIALS):
+        if trial < EXTRACT_TRIALS:
+            ex_sec, n_docs = run_extraction(spark)
+            samples["extract_corpus"].append(ex_sec)
+            docs_per_sec.append(n_docs / ex_sec)
         for name in BENCH_OPS:
             t0 = time.time()
             qmap[name](spark, SF_DIR).count()
             samples[name].append(time.time() - t0)
 
     queries = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    spread = {
-        n: round(max(s) - min(s), 3) for n, s in samples.items()
-    }
+    spread = {n: round(_iqr(s), 3) for n, s in samples.items()}
+    minmax = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    paired = paired_minhash(spark) if PAIRED_ROUNDS else None
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "trials": BENCH_TRIALS,
-                "query_spread_sec": spread,
-                "extract_docs": n_docs,
-                "extract_docs_per_sec": round(statistics.median(docs_per_sec), 1),
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": BENCH_TRIALS,
+        "extract_trials": EXTRACT_TRIALS,
+        "query_spread_sec": spread,
+        "query_minmax_sec": minmax,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(statistics.median(docs_per_sec), 1),
+    }
+    if paired:
+        out["paired_minhash_vs_r2_plan"] = paired
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -108,3 +108,80 @@ def test_charset_roundtrip_property():
         text, status, fmt = extract_document_text(payload)
         assert (status, fmt) == (STATUS_OK, FORMAT_HTML), (enc, body)
         assert text == body, (enc, body)
+
+
+# --- transport-layer (HTTP/WARC Content-Type) precedence, round-3 #7 ---
+
+def test_header_beats_meta():
+    """WHATWG precedence: transport layer outranks the meta prescan.  A
+    windows-1250 header with a (stale) iso-8859-1 meta must decode as
+    windows-1250."""
+    html = HTML_TMPL.format(meta='<meta charset="iso-8859-1">', body=POLISH)
+    payload = html.encode("windows-1250")
+    assert sniff_charset(payload, "text/html; charset=windows-1250") == "windows-1250"
+    assert POLISH in decode_payload(payload, "text/html; charset=windows-1250")
+    # without the header, the (wrong) meta wins and mangles the Polish
+    assert sniff_charset(payload) == "iso-8859-1"
+
+
+def test_bom_beats_header():
+    html = HTML_TMPL.format(meta="", body=POLISH)
+    payload = b"\xff\xfe" + html.encode("utf-16-le")
+    assert sniff_charset(payload, "text/html; charset=iso-8859-2") == "utf-16-le"
+    assert POLISH in decode_payload(payload, "text/html; charset=iso-8859-2")
+
+
+def test_header_forms_and_fallbacks():
+    from archvisier_spark.kernel.charset import charset_from_declaration
+
+    assert charset_from_declaration("text/html; charset=ISO-8859-2") == "iso-8859-2"
+    assert charset_from_declaration('text/html; charset="utf-8"') == "utf-8"
+    assert charset_from_declaration("windows-1250") == "windows-1250"
+    # utf-16 transport label without BOM → utf-8 (same WHATWG note)
+    assert charset_from_declaration("text/html; charset=utf-16") == "utf-8"
+    assert charset_from_declaration("application/json") is None  # no charset param
+    assert charset_from_declaration("text/html; charset=no-such-enc") is None
+    assert charset_from_declaration(None) is None
+    assert charset_from_declaration("") is None
+
+
+def test_unusable_header_falls_through_to_meta():
+    html = HTML_TMPL.format(meta='<meta charset="iso-8859-2">', body=POLISH)
+    payload = html.encode("iso-8859-2")
+    assert sniff_charset(payload, "text/html; charset=bogus-enc") == "iso-8859-2"
+
+
+def test_content_type_column_propagates_through_pipeline(spark):
+    """An input table carrying content_type must have the header respected
+    by the distributed extraction (and the column must not leak into the
+    output schema)."""
+    from pyspark.sql import types as T
+
+    from archvisier_spark.pipeline.extract import extract_documents
+
+    html = HTML_TMPL.format(meta="", body=POLISH).encode("windows-1250")
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+    ])
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u1", ts, html, "pl", "text/html; charset=windows-1250"),
+        ("u2", ts, html, "pl", None),  # no header → meta/utf-8 path
+    ]
+    for arrow in (True, False):
+        out = {
+            r["url"]: r["extracted_text"]
+            for r in extract_documents(
+                spark.createDataFrame(rows, schema), arrow=arrow
+            ).collect()
+        }
+        assert POLISH in out["u1"], f"arrow={arrow}"
+        assert POLISH not in out["u2"], f"arrow={arrow}"  # mangled w/o header
+    assert "content_type" not in extract_documents(
+        spark.createDataFrame(rows, schema)
+    ).columns
