@@ -227,15 +227,49 @@ def pdf_page_count(payload: bytes) -> int:
         return 0
 
 
-def ocr_page_image(image_bytes: bytes, lang: str = "pol") -> str:
-    """OCR hook for rasterised/image-only pages.
+def rasterize_pdf_page(payload: bytes, page: int = 1, dpi: int = 200) -> bytes:
+    """Rasterise one PDF page to PNG via Poppler ``pdftoppm`` — the
+    reference's rasterisation step (processing/ocr.py:177-190) as a
+    subprocess over stdin/stdout.  Requires the cluster image
+    (docker/Dockerfile.cluster); raises ``NotImplementedError`` where the
+    binary is absent so callers keep the text-layer path."""
+    import shutil
+    import subprocess
 
-    STUB: this container ships no Tesseract/Poppler binaries and OCR output
-    is not reproducible across builds; the deterministic corpus carries its
-    text layer in content streams instead.  On a real cluster, plug
-    pytesseract here (initialised once per partition inside mapInPandas,
-    mirroring processing/ocr.py:91-104).
-    """
-    raise NotImplementedError(
-        "image OCR requires tesseract binaries not present in this sandbox"
+    if shutil.which("pdftoppm") is None:
+        raise NotImplementedError(
+            "pdftoppm (poppler-utils) not present in this sandbox — "
+            "use the text-layer path or the cluster image"
+        )
+    proc = subprocess.run(
+        ["pdftoppm", "-png", "-r", str(dpi), "-f", str(page), "-l", str(page), "-"],
+        input=payload,
+        capture_output=True,
+        check=True,
     )
+    return proc.stdout
+
+
+def ocr_page_image(image_bytes: bytes, lang: str = "pol", config: str = "") -> str:
+    """OCR for rasterised/image-only pages via Tesseract
+    (processing/ocr.py:91-104's engine call as a stdin/stdout subprocess;
+    one process per page, which on a cluster runs inside the extraction
+    task's already-parallel partition).
+
+    Where the binary is absent (this sandbox) raises
+    ``NotImplementedError`` — the deterministic corpus carries its text
+    layer in content streams instead, and the integration contract runs
+    only on the cluster image (tests/test_cluster_image.py,
+    docker/Dockerfile.cluster)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("tesseract") is None:
+        raise NotImplementedError(
+            "image OCR requires tesseract binaries not present in this sandbox"
+        )
+    cmd = ["tesseract", "stdin", "stdout", "-l", lang]
+    if config:
+        cmd += config.split()
+    proc = subprocess.run(cmd, input=image_bytes, capture_output=True, check=True)
+    return proc.stdout.decode("utf-8", errors="ignore").strip()

