@@ -14,8 +14,10 @@ from pyspark.sql import SparkSession
 
 # Arrow transfer batch: 512 rows ≈ 1-4 MB for median web docs; a batch
 # containing one megabyte-scale PDF stays bounded because such rows are
-# ~1-per-hundred (SURVEY.md §4 "maxRecordsPerBatch tuned").
-ARROW_BATCH_ROWS = 512
+# ~1-per-hundred (SURVEY.md §4 "maxRecordsPerBatch tuned").  Overridable
+# for scaling experiments (larger batches amortise per-batch pipe+GIL
+# overhead at high worker counts; round-3 verdict #2).
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "512"))
 
 # Input split size: the map-only extraction stage inherits its task
 # granularity from scan splits, so splits must be small enough that every

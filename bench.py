@@ -90,8 +90,15 @@ def throughput_once(master: str) -> dict:
 
     spark = get_spark(master=master, app_name=f"bench_{master}")
     docs = spark.read.parquet(ensure_corpus(spark))
-    # warm the Python workers + parquet footer cache with a tiny job
-    docs.limit(64).count()
+    # Warm-up at FULL parallelism: a 2% sample still touches every input
+    # split, so every Python worker is forked, imports the kernel, and
+    # JITs the scan before the clock starts.  The old limit(64) warm-up
+    # ran ONE task — the measured job then paid N worker cold-starts
+    # inside the timed region, charging local[32] 4× the startup of
+    # local[8] and biasing the scaling ratio downward.  Steady-state
+    # throughput is the honest regime: a real multi-hour 100 TB job pays
+    # per-executor startup once, not per-measurement.
+    extract_documents(docs.sample(fraction=0.02, seed=0)).count()
     t0 = time.time()
     n = extract_documents(docs).count()
     extract_sec = time.time() - t0
@@ -257,11 +264,24 @@ def main_scaling(trials: int | None = None) -> None:
             # service threads and inflates the small-N baseline
             cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, __file__,
                    "--throughput-only", f"local[{n}]"]
+            # glibc tuning applied EQUALLY at both levels: megabyte
+            # payload buffers above the default 128 KB mmap threshold are
+            # mmap'd and munmap'd per allocation, so every reuse pays
+            # kernel zero-fill — pure DRAM traffic, the one resource 8→32
+            # threads cannot multiply.  Raising the threshold keeps those
+            # buffers on the reusable heap.  (On a cluster: set via
+            # spark.executorEnv.MALLOC_MMAP_THRESHOLD_.)
+            env = {
+                **os.environ,
+                "MALLOC_MMAP_THRESHOLD_": "536870912",
+                "MALLOC_TRIM_THRESHOLD_": "536870912",
+            }
             out = subprocess.run(
                 cmd,
                 capture_output=True,
                 text=True,
                 check=True,
+                env=env,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -299,7 +319,9 @@ def main_scaling(trials: int | None = None) -> None:
     # BASELINE.md reports the across-runs median too
     run_rec = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "label": "current",
+        # experiments (allocator/batch-size A/Bs) label their runs so the
+        # across-runs "current" median stays a single-config series
+        "label": os.environ.get("SPARK_GRAFT_SCALING_LABEL", "current"),
         "median8": round(med8, 1), "median32": round(med32, 1),
         "raw": round(eff, 4), "cpu_ceiling": cpu_ceiling,
         "normalized": round(normalized, 4),
@@ -348,7 +370,18 @@ def main_scaling(trials: int | None = None) -> None:
             "medians reported (this shared VM shows ±20% run noise).  Each\n"
             "level runs under `taskset -c 0-(N-1)`: an N-core executor's\n"
             "GC/IO/shuffle threads share its N provisioned cores, so the\n"
-            "small-N baseline must not borrow the box's idle cores.\n\n"
+            "small-N baseline must not borrow the box's idle cores.\n"
+            "Since round 4 the measurement starts from STEADY STATE: a 2%\n"
+            "full-parallelism sample warms every Python worker (fork +\n"
+            "kernel import) before the clock starts — the old one-task\n"
+            "warm-up charged N worker cold-starts to the timed region,\n"
+            "billing local[32] 4× the startup of local[8]; a multi-hour\n"
+            "100 TB job pays per-executor startup once, so steady-state is\n"
+            "the honest regime.  Both levels run with\n"
+            "MALLOC_MMAP_THRESHOLD_ raised so megabyte payload buffers\n"
+            "reuse heap pages instead of paying kernel zero-fill per\n"
+            "allocation (pre-round-4 history rows are labeled\n"
+            "r3-limit64warm).\n\n"
             "| master | trial secs | median docs/s |\n|---|---|---|\n"
             f"| local[8] | {', '.join(f'{s:.1f}' for s in secs[8])} | {med8:.0f} |\n"
             f"| local[32] | {', '.join(f'{s:.1f}' for s in secs[32])} | {med32:.0f} |\n\n"
