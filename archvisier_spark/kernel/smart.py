@@ -151,15 +151,28 @@ _PARTY_PATTERNS: tuple[tuple[tuple[str, ...], re.Pattern[str]], ...] = (
 _ADDRESS_GATES = ("ul.", "ulica", "al.", "aleja")
 _ADDRESS_PATTERN = re.compile(r"(?:ul\.|ulica|al\.|aleja)[^\n,]{2,30},[^\n]{2,30}\d{2}-\d{3}", re.IGNORECASE)
 
-# Subject patterns — smart_extractor.py:118-122.
-_SUBJECT_PATTERNS: tuple[tuple[tuple[str, ...], re.Pattern[str]], ...] = (
-    (("dotyczy", "dot.", "w sprawie", "temat", "przedmiot", "sprawa"),
+# Subject patterns — smart_extractor.py:118-122.  Entries are
+# (substring gates, fine gate regex-or-None, full pattern): the substring
+# gate is a memchr-fast prefilter; the optional FINE gate is a much
+# simpler regex over the already-lowered text that must hit whenever the
+# full pattern can (profiled: the bare "re" substring fires on most
+# Polish prose — adres/prezes/numerze — sending the expensive alternation
+# scan over nearly every document; "re[\s:]" is what the alternation
+# actually requires of that branch, and the other two branches end in the
+# same "g[\s:]"-style tails covered below).
+_SUBJECT_PATTERNS: tuple[
+    tuple[tuple[str, ...], re.Pattern[str] | None, re.Pattern[str]], ...
+] = (
+    (("dotyczy", "dot.", "w sprawie", "temat", "przedmiot", "sprawa"), None,
      re.compile(r"(?:dotyczy|dot\.|w sprawie|temat|przedmiot|sprawa)[:\s]+([^\n\.]{10,100})", re.IGNORECASE)),
-    (("sprawa:", "dot.:"),
+    (("sprawa:", "dot.:"), None,
      re.compile(r"(?:sprawa|dot\.):[^\n\.]{5,100}", re.IGNORECASE)),
-    # NB: the gate must cover EVERY alternative ("subject" does not
-    # contain "re"); the 2-char "re" makes this gate weak but still sound
+    # NB: the substring gate must cover EVERY alternative ("subject" does
+    # not contain "re"); the 2-char "re" makes it weak but sound.  Any
+    # full-pattern match requires one of subject/regarding/re followed by
+    # [:\s] — exactly what the fine gate probes on the lowered text.
     (("subject", "regarding", "re"),
+     re.compile(r"(?:subject|regarding|re)[\s:]"),
      re.compile(r"(?:subject|regarding|re)[:\s]+([^\n\.]{5,100})", re.IGNORECASE)),
 )
 _SUBJECT_PREFIXES = ("dotyczy:", "dot.:", "w sprawie:", "temat:", "przedmiot:")
@@ -295,8 +308,10 @@ def extract_subject(text: str, doc_type: str | None = None) -> str:
     table once instead of three times.
     """
     low = text.lower()
-    for gates, pattern in _SUBJECT_PATTERNS:
+    for gates, fine_gate, pattern in _SUBJECT_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
+            continue
+        if GATES_ENABLED and fine_gate is not None and not fine_gate.search(low):
             continue
         m = pattern.search(text)
         if m:
