@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # GC / JVM experiments (scaling A/Bs): local mode puts scan + Arrow
+    # serialisation for all N workers in ONE JVM, so collector choice can
+    # gate N-thread scaling in a way a per-executor JVM never sees
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     # Master resolution: an explicit argument wins; otherwise inherit
     # spark.master from spark-submit / existing conf (cluster usage per
     # job.py --master help text); local[N] is only the last-resort default

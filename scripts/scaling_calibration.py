@@ -26,7 +26,13 @@ import json
 import multiprocessing as mp
 import time
 
-CPU_ITERS = 30_000_000
+# Sized so one confined cal run spans ~8-12 s — comparable to the Spark
+# measurement windows it is paired against.  With the earlier 30M-iter
+# (~3 s) burns, a hypervisor-neighbour burst could land inside the 8-25 s
+# Spark window but miss the short cal window entirely, so the paired
+# estimator failed to cancel exactly the stalls it exists to cancel
+# (observed: paired rounds bimodal 0.3/0.9 on stall nights).
+CPU_ITERS = 90_000_000
 MEMCPY_BUF_MB = 8
 MEMCPY_COPIES = 400
 
