@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     p.add_argument("--finalize", action="store_true",
                    help="after all chunks complete, write numbered+named output")
+    p.add_argument("--assume-sorted-urls", action="store_true",
+                   help="input/output is stored sorted by url (Iceberg sort "
+                        "order): numbering skips the payload re-attach join "
+                        "(zero-shuffle fast path; fails fast if unsorted)")
     args = p.parse_args(argv)
 
     from archvisier_spark.kernel.config import load_settings
@@ -92,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     if args.finalize and len(done) == args.n_chunks:
-        named = finalize_names(spark, args.output, work_mode=args.work_mode)
+        named = finalize_names(spark, args.output, work_mode=args.work_mode,
+                               assume_sorted=args.assume_sorted_urls)
         named.write.mode("overwrite").parquet(args.output.rstrip("/") + "_named")
         report["finalized_rows"] = spark.read.parquet(
             args.output.rstrip("/") + "_named"

@@ -143,16 +143,23 @@ def run_resumable(
 
 
 def finalize_names(
-    spark: SparkSession, output_path: str, work_mode: str = "KP"
+    spark: SparkSession, output_path: str, work_mode: str = "KP",
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Global numbering + naming over the completed chunk output, plus the
     year-scoped display number: the flagship output ships ``lp`` /
     ``new_name`` (X13/X14) AND ``lp_year`` / ``display_number`` — the
     reference's ``{mode}/{year}`` session counters rendered with the
     TYPE_PATTERNS literals (gui/constants.py:9-13) — not just the oracle
-    query's view of them."""
+    query's view of them.
+
+    ``assume_sorted``: the chunk output is stored url-sorted (an Iceberg
+    url sort order) — numbering then takes the zero-payload-shuffle path
+    (pipeline/numbering.with_sequence_sorted); raises ``ValueError`` if
+    the claimed order doesn't hold."""
     named = with_new_names(
-        spark.read.parquet(output_path).drop("chunk_id"), work_mode=work_mode
+        spark.read.parquet(output_path).drop("chunk_id"), work_mode=work_mode,
+        assume_sorted=assume_sorted,
     )
     return with_display_numbers(named, work_mode=work_mode)
 
