@@ -15,9 +15,12 @@ no HTML tier, SURVEY.md §7):
    the content attribute either way).
 4. Else UTF-8.
 
-Per the WHATWG rules, a ``charset=utf-16*`` *declaration* (without BOM)
-is treated as UTF-8 — an ASCII-readable meta tag proves the bytes are
-not actually UTF-16 — and ``x-user-defined`` maps to windows-1252.
+Per the WHATWG rules, a ``charset=utf-16*`` *meta declaration* (without
+BOM) is treated as UTF-8 — an ASCII-readable meta tag proves the bytes
+are not actually UTF-16 — while a transport-layer UTF-16 label is
+honored as-is (§13.2.3.2 trusts a supported transport encoding; bare
+``utf-16`` → UTF-16LE per the label table).  ``x-user-defined`` maps to
+windows-1252.
 Decoding always uses ``errors="ignore"`` (the engine's naive-read
 contract) and strips the BOM character.
 """
@@ -57,18 +60,28 @@ def detect_bom(payload: bytes) -> tuple[str | None, int]:
 _HEADER_CHARSET = re.compile(r"charset\s*=\s*[\"']?([a-zA-Z0-9._\-]+)", re.IGNORECASE)
 
 
-def _resolve_label(name: str) -> str | None:
-    """WHATWG label normalization shared by the transport-layer and meta
-    paths: a ``utf-16*`` label without a BOM is read as UTF-8 (the label
-    was ASCII-readable, so the bytes aren't UTF-16 — spec §13.2.3.3, the
-    same note applies to the unreliable transport claim), and
-    ``x-user-defined`` maps to windows-1252.  ``None`` for labels Python
-    has no codec for (caller falls through to the next precedence step)."""
+def _resolve_label(name: str, transport: bool = False) -> str | None:
+    """WHATWG label normalization.  The ``utf-16*``→UTF-8 remap applies
+    ONLY to in-document declarations (spec §13.2.3.3: an ASCII-readable
+    meta tag proves the bytes aren't UTF-16); §13.2.3.2 honors a
+    supported TRANSPORT-layer encoding as-is, so a header-declared
+    BOM-less UTF-16 page decodes as UTF-16 (round-4 ADVICE — the prior
+    behavior remapped both layers and mangled genuine UTF-16).  A bare
+    ``utf-16`` transport label maps to UTF-16LE per the Encoding
+    Standard's label table.  ``x-user-defined`` maps to windows-1252 at
+    both layers — a deliberate deviation at the transport layer (the
+    spec keeps the single-byte x-user-defined encoding there, which
+    Python lacks; windows-1252 is byte-preserving for ASCII and the
+    closest available decode-never-fails stand-in).  ``None`` for labels
+    Python has no codec for (caller falls through to the next
+    precedence step)."""
     name = name.strip().strip("\"'").lower()
     if not name:
         return None
     if name.startswith("utf-16") or name.startswith("utf16"):
-        return "utf-8"
+        if not transport:
+            return "utf-8"
+        return "utf-16-be" if name.endswith("be") else "utf-16-le"
     if name == "x-user-defined":
         return "windows-1252"
     try:
@@ -85,7 +98,7 @@ def charset_from_declaration(declared: str | None) -> str | None:
         return None
     m = _HEADER_CHARSET.search(declared)
     label = m.group(1) if m else (None if "/" in declared or ";" in declared else declared)
-    return _resolve_label(label) if label else None
+    return _resolve_label(label, transport=True) if label else None
 
 
 def sniff_charset(payload: bytes, declared: str | None = None) -> str:

@@ -138,7 +138,14 @@ def with_sequence_sorted(
     transform).  BOTH passes must see the same partitioning: split
     planning is deterministic for the same files and config, and a
     narrow (map-only) transform preserves scan partitions, which is
-    exactly the extraction pipeline's shape.  A grouped restart
+    exactly the extraction pipeline's shape.  That contract is ENFORCED
+    per row, not assumed: the offsets broadcast carries each partition's
+    recorded ``(count, min-key, max-key)``, and every output row must
+    land inside its partition's key range (ranges are non-overlapping,
+    so membership pins the pid uniquely) with a record index below the
+    recorded count — any divergence (AQE/coalesce upstream, a different
+    scan plan, files changed between the two jobs) raises at evaluation
+    time instead of emitting NULL or silently wrong numbers.  A grouped restart
     (``partition_cols``) is not offered here: a constant group (the
     flagship's ``work_mode``) doesn't need one, and a genuinely varying
     group interleaved with the sort order has no JVM-side
@@ -196,18 +203,45 @@ def with_sequence_sorted(
             )
     offset_rows, running = [], 0
     for r in ordered:
-        offset_rows.append((r["pid"], running))
+        offset_rows.append((r["pid"], running, r["cnt"], r["mn"], r["mx"]))
         running += r["cnt"]
-    offsets = spark.createDataFrame(offset_rows, ["__pid", "__offset"])
+    offsets = spark.createDataFrame(
+        offset_rows,
+        f"__pid int, __offset long, __cnt long, __mn {dtype}, __mx {dtype}",
+    )
 
+    # Partition-contract enforcement (round-4 ADVICE): sortedness is
+    # validated on the STATS pass, but df's partition assignment could
+    # diverge from it (keys_df with a different scan plan, AQE/coalesce
+    # upstream, files changed between the two jobs).  Every output row
+    # must therefore PROVE its placement: its key lies inside its
+    # partition's recorded [mn, mx] range (ranges are validated
+    # non-overlapping above, so range membership pins the pid uniquely),
+    # its record index is below the recorded count (count conservation),
+    # and its pid exists in the offset table at all.  Any breach raises
+    # at evaluation time — never a NULL or silently wrong sequence
+    # number.  Cost: three comparisons per row against broadcast
+    # literals; zero extra jobs over the payload.
     idx = F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_IDX_MASK))
+    breach = (
+        F.col("__offset").isNull()
+        | (F.col("__idx") >= F.col("__cnt"))
+        | (F.col(order_col) < F.col("__mn"))
+        | (F.col(order_col) > F.col("__mx"))
+    )
+    err = F.raise_error(
+        F.format_string(
+            "with_sequence_sorted: partition contract breach (pid=%s, "
+            f"idx=%s, {order_col}=%s) — df's partitioning diverged from "
+            "the keys_df stats pass; use with_sequence()",
+            F.col("__pid"), F.col("__idx"), F.col(order_col),
+        )
+    )
+    seq = (F.col("__offset") + F.col("__idx") + 1).cast("long")
     return (
         df.withColumn("__pid", F.spark_partition_id())
         .withColumn("__idx", idx)
-        # left join: a pass-2 partition missing from the offset table
-        # (broken keys_df contract) surfaces as a NULL sequence number,
-        # never a silently dropped row
         .join(F.broadcast(offsets), "__pid", "left")
-        .withColumn(out_col, (F.col("__offset") + F.col("__idx") + 1).cast("long"))
-        .drop("__pid", "__idx", "__offset")
+        .withColumn(out_col, F.when(breach, err.cast("long")).otherwise(seq))
+        .drop("__pid", "__idx", "__offset", "__cnt", "__mn", "__mx")
     )

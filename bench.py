@@ -118,11 +118,12 @@ def throughput_once(master: str) -> dict:
 
 
 # 7 ops trials: at this VM's documented ±50% noise, 3 trials could not
-# adjudicate multi-second deltas (round-3 verdict #3).  The extraction
-# pipeline runs fewer trials — its measured spread is small (<5% of the
-# median) and each run costs ~20 s.
+# adjudicate multi-second deltas (round-3 verdict #3).  Extraction runs 5
+# trials since round 5: BENCH_r04 recorded IQR 7.7 s on a 13.7 s median
+# from 3 samples — too thin for the one number the driver names.
+# Clamped to ≥1 so the output dict is always populated.
 BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "7"))
-EXTRACT_TRIALS = int(os.environ.get("SPARK_GRAFT_EXTRACT_TRIALS", "3"))
+EXTRACT_TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_EXTRACT_TRIALS", "5")))
 # interleaved current-vs-r2-plan rounds for dedup_minhash_lsh (the
 # round-3 open question); 0 disables
 PAIRED_ROUNDS = int(os.environ.get("SPARK_GRAFT_PAIRED_ROUNDS", "5"))
@@ -231,6 +232,23 @@ def main_bench() -> None:
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(statistics.median(docs_per_sec), 1),
     }
+    # cross-check for the headline number: the scaling series' across-runs
+    # median extraction-only rate at local[32] (BENCH/runs.jsonl, 16+ runs)
+    # is the better-estimated throughput figure than any single session
+    runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "runs.jsonl")
+    if os.path.exists(runs_path):
+        with open(runs_path) as rf:
+            hist32 = [
+                rec["median32"]
+                for rec in (json.loads(l) for l in rf if l.strip())
+                if rec.get("label", "current") == "current"
+            ]
+        if hist32:
+            out["scaling_series_extract_docs_per_sec_local32"] = round(
+                statistics.median(hist32), 1
+            )
+            out["scaling_series_runs"] = len(hist32)
     if paired:
         out["paired_minhash_vs_r2_plan"] = paired
     print(json.dumps(out))
@@ -381,28 +399,64 @@ def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None
         history = [json.loads(l) for l in rf if l.strip()]
     import statistics as _st
 
-    cur = [r for r in history if r.get("label", "current") == "current"]
-    # prefer runs that carry the per-round paired estimator (it cancels
-    # window drift the older medians-of-series runs cannot); fall back to
-    # the mixed pool while fewer than 3 paired runs exist
-    paired_runs = [r for r in cur if "normalized_paired" in r]
-    if len(paired_runs) >= 3:
-        agg, agg_kind = paired_runs, "paired-normalized"
-        hist_norm = round(_st.median(r["normalized_paired"] for r in agg), 4)
-    else:
-        agg, agg_kind = cur, "normalized (mixed estimators)"
-        hist_norm = round(
-            _st.median(r.get("normalized_paired", r["normalized"]) for r in agg), 4
-        )
-    hist_raw = round(_st.median(r["raw"] for r in agg), 4)
-    hist_rate32 = round(_st.median(r["median32"] for r in agg), 0)
-    trimmed_vals = [
-        r.get("normalized_paired_trimmed", r.get("normalized_paired"))
-        for r in agg
-        if r.get("normalized_paired_trimmed", r.get("normalized_paired")) is not None
-    ]
-    hist_trimmed = round(_st.median(trimmed_vals), 4) if trimmed_vals else None
-    total_stalls = sum(r.get("stall_rounds", 0) for r in agg)
+    def _series_stats(rows: list[dict]) -> dict | None:
+        """Across-runs medians for ONE single-config series.  Prefers runs
+        carrying the per-round paired estimator (it cancels window drift
+        the older medians-of-series runs cannot); falls back to the mixed
+        pool while fewer than 3 paired runs exist."""
+        if not rows:
+            return None
+        paired_rows = [r for r in rows if "normalized_paired" in r]
+        if len(paired_rows) >= 3:
+            agg, kind = paired_rows, "paired-normalized"
+            norm = round(_st.median(r["normalized_paired"] for r in agg), 4)
+        else:
+            agg, kind = rows, "normalized (mixed estimators)"
+            norm = round(
+                _st.median(r.get("normalized_paired", r["normalized"]) for r in agg), 4
+            )
+        tv = [
+            r.get("normalized_paired_trimmed", r.get("normalized_paired"))
+            for r in agg
+            if r.get("normalized_paired_trimmed", r.get("normalized_paired"))
+            is not None
+        ]
+        return {
+            "n": len(agg),
+            "kind": kind,
+            "norm": norm,
+            "raw": round(_st.median(r["raw"] for r in agg), 4),
+            "rate32": round(_st.median(r["median32"] for r in agg), 0),
+            "trimmed": round(_st.median(tv), 4) if tv else None,
+            "stalls": sum(r.get("stall_rounds", 0) for r in agg),
+        }
+
+    # the two single-config series the headline must report SIDE BY SIDE
+    # (round-4 verdict: the executor-JVM rendition is the stricter reading
+    # of the N-vs-4N rule and may not hide behind the thread-mode number)
+    thread_stats = _series_stats(
+        [r for r in history if r.get("label", "current") == "current"]
+    )
+    exec_stats = _series_stats(
+        [r for r in history if r.get("label") == "executor-jvms"]
+    )
+
+    def _verdict(stats: dict | None) -> str:
+        """Explicit estimator naming (round-4 ADVICE): state WHICH
+        estimator the MEETS/below call is computed on, and never let a
+        0.0 trimmed value fall through to the untrimmed one."""
+        if stats is None:
+            return "no runs"
+        if stats["trimmed"] is not None:
+            est_name, est = "stall-trimmed paired median", stats["trimmed"]
+        else:
+            est_name, est = "paired-normalized median", stats["norm"]
+        word = "MEETS" if est >= 0.8 else "is BELOW"
+        return f"{word} the ≥ 0.8 target on the {est_name} ({est:.3f})"
+
+    hist_raw, hist_norm = thread_stats["raw"], thread_stats["norm"]
+    hist_trimmed, hist_rate32 = thread_stats["trimmed"], thread_stats["rate32"]
+    total_stalls = thread_stats["stalls"]
 
     def _row(r):
         p = f"{r['normalized_paired']:.3f}" if "normalized_paired" in r else "—"
@@ -497,15 +551,28 @@ def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None
             "(Spark standalone local-cluster, 2 vs 8 executors × 4 cores,\n"
             "package shipped via the --py-files zip) — the faithful\n"
             "software rendition of the N-vs-4N-executor rule.\n\n"
-            f"**Across {len(agg)} current-kernel run(s) "
-            f"({agg_kind}): median raw {hist_raw:.3f}, median normalized "
-            f"{hist_norm:.3f}"
+            f"**Thread-mode series (local[8] vs local[32], the proxy "
+            f"BASELINE.json names; {thread_stats['n']} runs, "
+            f"{thread_stats['kind']}): median raw {hist_raw:.3f}, median "
+            f"normalized {hist_norm:.3f}"
             + (f", median stall-trimmed {hist_trimmed:.3f} "
                f"({total_stalls} stall rounds trimmed across the series)"
                if hist_trimmed is not None else "")
-            + f" ({'MEETS' if (hist_trimmed or hist_norm) >= 0.8 else 'below'} "
-            "the ≥ 0.8 target on the single-box proxy), "
-            f"median local[32] rate {hist_rate32:.0f} docs/s.**\n\n"
+            + f" — {_verdict(thread_stats)}; median local[32] rate "
+            f"{hist_rate32:.0f} docs/s.  Executor-JVM series (REAL separate "
+            f"executor JVMs, 2×4 vs 8×4 cores — the stricter rendition of "
+            f"the N-vs-4N-executor rule"
+            + (
+                f"; {exec_stats['n']} runs, {exec_stats['kind']}): median "
+                f"raw {exec_stats['raw']:.3f}, median normalized "
+                f"{exec_stats['norm']:.3f}"
+                + (f", median stall-trimmed {exec_stats['trimmed']:.3f}"
+                   if exec_stats["trimmed"] is not None else "")
+                + f" — {_verdict(exec_stats)}."
+                if exec_stats is not None
+                else "): no runs recorded yet."
+            )
+            + "**\n\n"
             "Read the table as a whole: the r3-early rows are the SAME\n"
             "plan, same input, with a ~2× slower per-document kernel — it\n"
             "scales at 0.89-0.90 normalized.  The current kernel doubles\n"

@@ -68,6 +68,16 @@ def test_utf16_label_without_bom_is_utf8():
     assert sniff_charset(payload) == "utf-8"
 
 
+def test_bomless_utf16_transport_header_decodes():
+    # a genuine BOM-less UTF-16LE page with an honest transport header
+    # must decode as UTF-16, not be remapped to UTF-8 and mangled
+    html = HTML_TMPL.format(meta="", body=POLISH)
+    payload = html.encode("utf-16-le")
+    assert not payload.startswith(b"\xff\xfe")
+    assert sniff_charset(payload, "text/html; charset=utf-16") == "utf-16-le"
+    assert POLISH in decode_payload(payload, "text/html; charset=utf-16")
+
+
 def test_unknown_and_x_user_defined_labels():
     assert sniff_charset(b'<meta charset="no-such-encoding">x') == "utf-8"
     assert sniff_charset(b'<meta charset="x-user-defined">x') == "windows-1252"
@@ -137,8 +147,12 @@ def test_header_forms_and_fallbacks():
     assert charset_from_declaration("text/html; charset=ISO-8859-2") == "iso-8859-2"
     assert charset_from_declaration('text/html; charset="utf-8"') == "utf-8"
     assert charset_from_declaration("windows-1250") == "windows-1250"
-    # utf-16 transport label without BOM → utf-8 (same WHATWG note)
-    assert charset_from_declaration("text/html; charset=utf-16") == "utf-8"
+    # transport-layer UTF-16 is honored as-is (WHATWG §13.2.3.2 trusts a
+    # supported transport encoding; the utf-16→utf-8 remap is meta-only);
+    # bare 'utf-16' → LE per the Encoding Standard's label table
+    assert charset_from_declaration("text/html; charset=utf-16") == "utf-16-le"
+    assert charset_from_declaration("text/html; charset=UTF-16BE") == "utf-16-be"
+    assert charset_from_declaration("charset=utf-16le") == "utf-16-le"
     assert charset_from_declaration("application/json") is None  # no charset param
     assert charset_from_declaration("text/html; charset=no-such-enc") is None
     assert charset_from_declaration(None) is None

@@ -74,6 +74,17 @@ def test_overlapping_ranges_raise(spark):
         with_sequence_sorted(df, "url")
 
 
+def test_partitioning_divergence_raises(spark):
+    """Round-4 ADVICE: a keys_df whose partition assignment diverges from
+    df (here: df coalesced to fewer partitions than the stats pass saw)
+    must raise at evaluation time — never NULL or silently wrong lp."""
+    keys = sorted_urls_df(spark, n=400, parts=4)
+    diverged = keys.coalesce(2)
+    out = with_sequence_sorted(diverged, "url", keys_df=keys)
+    with pytest.raises(Exception, match="partition contract breach"):
+        out.collect()
+
+
 def test_empty_input_gets_null_lp(spark):
     df = sorted_urls_df(spark).filter(F.lit(False))
     out = with_sequence_sorted(df, "url")
