@@ -27,7 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from archvisier_spark.kernel.cascade import extract_info_from_text
     from archvisier_spark.kernel.naming import filename_for
     from archvisier_spark.pipeline.extract import SPAN_TYPE, info_spans
-    from archvisier_spark.pipeline.numbering import with_sequence
+    from archvisier_spark.pipeline.numbering import (
+        with_sequence,
+        with_sequence_sorted,
+    )
 
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
 
@@ -71,12 +74,24 @@ def entry(spark: SparkSession) -> DataFrame:
     # map-only: the cascade runs on scan splits — no payload shuffle
     # (consistent with extract_documents' design)
     extracted = docs.select("doc_id", "text").mapInPandas(run_cascade, schema)
-    numbered = with_sequence(
-        extracted.withColumn("work_mode", F.lit("KP")),
-        order_col="doc_id",
-        partition_cols=("work_mode",),
-        out_col="lp",
-    )
+    # documents.parquet is written sorted by doc_id, so the flagship takes
+    # the zero-payload-Exchange numbering fast path (round-4 verdict #6):
+    # offsets from a narrow stats pass over the raw scan (keys_df shares
+    # the extraction's scan lineage), sequence = offset + in-partition
+    # record index, validated per row.  An input without the sort order
+    # falls back to the general two-phase rank (the single work_mode group
+    # makes the grouped restart a constant, so both paths agree).
+    try:
+        numbered = with_sequence_sorted(
+            extracted, order_col="doc_id", out_col="lp", keys_df=docs
+        )
+    except ValueError:
+        numbered = with_sequence(
+            extracted.withColumn("work_mode", F.lit("KP")),
+            order_col="doc_id",
+            partition_cols=("work_mode",),
+            out_col="lp",
+        )
 
     @F.pandas_udf("string")
     def name_udf(lp, syg, num, nad, typ, wsp):

@@ -91,21 +91,73 @@ def extract_pdf_text(
         return f"{OCR_ERROR_PREFIX}{e}", traceback.format_exc()
 
 
+def extract_pdf_text_raster(
+    payload: bytes,
+    language: str = "auto",
+    config: str = "",
+    rasterize_fn=None,
+    ocr_fn=None,
+    detect_fn=None,
+) -> tuple[str, str]:
+    """The reference's REAL OCR path (processing/ocr.py:169-237): rasterise
+    every page, OCR each raster with the two-pass auto-language decision,
+    repair, concat ``+"\\n"`` per page in page order.  Used for
+    raster-only PDFs (no text layer); requires Poppler/Tesseract
+    (``rasterize_pdf_page``/``ocr_page_image`` subprocess hooks) — where
+    the binaries are absent the ``NotImplementedError`` surfaces through
+    the standard error contract as a ``BŁĄD TECHNICZNY OCR:`` data row,
+    never a task failure.  ``rasterize_fn``/``ocr_fn`` are pluggable for
+    the fake-engine contract tests, exactly like :func:`ocr_page_auto`."""
+    from archvisier_spark.kernel.pdf import (
+        ocr_page_image,
+        pdf_page_count,
+        rasterize_pdf_page,
+    )
+
+    rasterize = rasterize_fn or rasterize_pdf_page
+    engine = ocr_fn or (
+        lambda img, lang, cfg: ocr_page_image(img, lang=lang, config=cfg)
+    )
+    try:
+        n_pages = pdf_page_count(payload)
+        if n_pages == 0:
+            return EMPTY_PDF_TEXT, ""
+        full_text = ""
+        for page_no in range(1, n_pages + 1):
+            raster = rasterize(payload, page=page_no)
+            text_page, lang = ocr_page_auto(
+                raster, language, engine, detect_fn, config
+            )
+            full_text += correct_text(text_page, lang) + "\n"
+        return full_text, STATUS_OK
+    except Exception as e:
+        return f"{OCR_ERROR_PREFIX}{e}", traceback.format_exc()
+
+
 def extract_document_text(
     payload: bytes | None,
     language: str = "auto",
     declared_charset: str | None = None,
+    ocr_mode: str = "text",
 ) -> tuple[str, str, str]:
     """Dispatch on sniffed format; returns ``(text, status, format)``.
 
     ``declared_charset``: the transport-layer charset claim (an HTTP/WARC
     ``Content-Type`` header value or bare label) — WHATWG precedence
-    slots it between BOM and meta prescan (kernel/charset.py)."""
+    slots it between BOM and meta prescan (kernel/charset.py).
+
+    ``ocr_mode``: ``"text"`` recovers PDF text from content streams (the
+    sandbox default); ``"raster"`` runs the reference's real OCR path
+    (rasterise + Tesseract per page, :func:`extract_pdf_text_raster`) —
+    for scanned/raster-only PDFs on a cluster with the binaries."""
     fmt = sniff_format(payload)
     if fmt == FORMAT_EMPTY:
         return "", STATUS_OK, fmt
     if fmt == FORMAT_PDF:
-        text, status = extract_pdf_text(payload, language)
+        if ocr_mode == "raster":
+            text, status = extract_pdf_text_raster(payload, language)
+        else:
+            text, status = extract_pdf_text(payload, language)
         return text, status, fmt
     # charset-sniffed decode (BOM → header → meta prescan → utf-8): legacy
     # Polish pages ship ISO-8859-2/windows-1250, UTF-16 arrives with BOMs;

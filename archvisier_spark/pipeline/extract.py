@@ -143,7 +143,8 @@ def _build_provider(entity_rules):
 
 def make_extract_batch(language: str, work_mode: str, case_signature: str,
                        entity_rules=None, llm_tier=None,
-                       use_content_type: bool = False):
+                       use_content_type: bool = False,
+                       ocr_mode: str = "text"):
     """Build the mapInPandas function (closure keeps config serialisable)."""
     provider = _build_provider(entity_rules)
 
@@ -157,7 +158,8 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str,
                 batch["url"], batch["warc_ts"], batch["html"], batch["lang"], cts
             ):
                 payload = bytes(html) if html is not None else None
-                text, status, fmt = extract_document_text(payload, language, ct)
+                text, status, fmt = extract_document_text(payload, language, ct,
+                                                          ocr_mode)
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   len(payload) if payload else 0,
                                   work_mode, case_signature,
@@ -205,7 +207,8 @@ def _arrow_out_schema(in_schema):
 
 def make_extract_arrow(language: str, work_mode: str, case_signature: str,
                        entity_rules=None, llm_tier=None,
-                       use_content_type: bool = False):
+                       use_content_type: bool = False,
+                       ocr_mode: str = "text"):
     """mapInArrow variant of :func:`make_extract_batch` — identical kernel
     calls, minimal memory traffic: the pandas materialisation is skipped on
     BOTH sides, and the columns the kernel never touches (url array for
@@ -234,7 +237,8 @@ def make_extract_arrow(language: str, work_mode: str, case_signature: str,
             cols: dict[str, list] = {name: [] for name in computed}
             for url, html, ct in zip(urls, htmls, cts):
                 payload = bytes(html) if html is not None else None
-                text, status, fmt = extract_document_text(payload, language, ct)
+                text, status, fmt = extract_document_text(payload, language, ct,
+                                                          ocr_mode)
                 info = extract_info_from_text(text, url, work_mode, case_signature,
                                               entity_provider=provider,
                                               llm_tier=llm_tier)
@@ -309,6 +313,7 @@ def extract_documents(
     entity_rules=None,
     llm_tier=None,
     arrow: bool = True,
+    ocr_mode: str = "text",
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
@@ -330,6 +335,14 @@ def extract_documents(
     ``paged_threshold``: optionally route payloads above this many bytes
     through page-level parallelism (pipeline/paged.py) — the answer for
     documents so large that even one-doc-per-task is too coarse.
+
+    ``ocr_mode="raster"``: run the reference's real OCR path for PDFs
+    (rasterise every page via Poppler, OCR each raster via Tesseract —
+    kernel/document.extract_pdf_text_raster) instead of the content-stream
+    text layer.  For scanned/raster-only corpora on a cluster with the
+    binaries (docker/Dockerfile.cluster); where they are absent each PDF
+    becomes a ``BŁĄD TECHNICZNY OCR:`` data row — fail-visible, never a
+    task failure.
     Returns EXTRACT_SCHEMA.
     """
     spark = df.sparkSession
@@ -348,11 +361,13 @@ def extract_documents(
             # columns pass through as the input's own Arrow buffers
             fn = make_extract_arrow(language, work_mode, case_signature,
                                     entity_rules, llm_tier,
-                                    use_content_type=has_ct)
+                                    use_content_type=has_ct,
+                                    ocr_mode=ocr_mode)
             return frame.mapInArrow(fn, EXTRACT_SCHEMA)
         fn = make_extract_batch(language, work_mode, case_signature,
                                 entity_rules, llm_tier,
-                                use_content_type=has_ct)
+                                use_content_type=has_ct,
+                                ocr_mode=ocr_mode)
         return frame.mapInPandas(fn, EXTRACT_SCHEMA)
 
     if paged_threshold is not None:

@@ -261,10 +261,16 @@ def main_bench() -> None:
 # --py-files zip — the faithful software rendition of the north rule's
 # "N and 4N executors" (hardware memory bandwidth is still one box's;
 # the cpu-burn ceiling normalization accounts for that exactly as in
-# thread mode).  4 cores per executor: N = 2 executors (8 cores) vs
-# 4N = 8 executors (32 cores).
-EXEC_CORES = 4
-EXEC_MEM_MB = 3072
+# thread mode).  Default 4 cores per executor: N = 2 executors (8
+# cores) vs 4N = 8 executors (32 cores).  SPARK_GRAFT_EXEC_CORES
+# reshapes the rendition for diagnostics (8 → 1×8 vs 4×8 executors,
+# isolating the JVM-count term from the core-count term); heap scales
+# per core so every shape runs the same MB/core.  Experiment runs MUST
+# set SPARK_GRAFT_SCALING_LABEL so the 'executor-jvms' series stays
+# single-config.
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+EXEC_MEM_PER_CORE_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_PER_CORE_MB", "768"))
+EXEC_MEM_MB = EXEC_CORES * EXEC_MEM_PER_CORE_MB
 
 
 def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None:
@@ -640,6 +646,15 @@ if __name__ == "__main__":
         # rows labeled 'executor-jvms' (env-overridable) so the
         # thread-mode 'current' series stays single-protocol
         os.environ.setdefault("SPARK_GRAFT_SCALING_LABEL", "executor-jvms")
+        # rebuild the --py-files zip first: executors import the PACKAGED
+        # kernel while the driver pickles closures against the working
+        # tree — a stale zip turns any signature change into a mid-run
+        # TypeError on the executors
+        subprocess.run(
+            ["bash", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "package.sh")],
+            check=True, capture_output=True,
+        )
         main_scaling(executor_mode=True)
     elif "--scaling" in sys.argv:
         main_scaling()

@@ -85,3 +85,57 @@ def test_auto_language_two_pass_with_real_engine():
     assert calls[0] == "pol+eng" and len(calls) == 2
     assert resolved in ("pol", "eng")
     assert "fox" in text.lower()
+
+
+def _docs_df(spark, payloads):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    rows = [(f"warc://raster/{i}", None, p, "pl") for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_raster_mode_without_binaries_yields_error_rows(spark):
+    """The LOCAL half of the end-to-end contract: ocr_mode='raster'
+    without the binaries must surface BŁĄD TECHNICZNY OCR: data rows
+    through the real mapInArrow path — fail-visible, never a task
+    failure (round-4 verdict #4)."""
+    if HAS_TESSERACT and HAS_POPPLER:
+        pytest.skip("binaries present — covered by the integration test")
+    from archvisier_spark.pipeline.extract import extract_documents
+
+    docs = _docs_df(spark, [build_pdf([["Umowa testowa"]])])
+    rows = extract_documents(docs, ocr_mode="raster").collect()
+    assert len(rows) == 1
+    assert rows[0]["extracted_text"].startswith("BŁĄD TECHNICZNY OCR: ")
+    assert "NotImplementedError" in rows[0]["status"]
+    assert rows[0]["format"] == "pdf"
+
+
+@needs_both
+def test_extract_documents_raster_end_to_end(spark):
+    """Round-4 verdict #4: the FULL Spark pipeline with the real binaries
+    — rasterize (pdftoppm) → OCR (tesseract) → repair → cascade inside
+    mapInArrow over a multi-page PDF — asserting page-order concat
+    (processing/ocr.py:228-237) and a clean status.  Runs only in the
+    cluster image (docker/Dockerfile.cluster)."""
+    from archvisier_spark.pipeline.extract import extract_documents
+
+    pdf = build_pdf([["INVOICE ALPHA 11111"], ["PAYMENT BRAVO 22222"]])
+    rows = extract_documents(
+        _docs_df(spark, [pdf]), language="eng", ocr_mode="raster"
+    ).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["status"] == "Sukces", row["extracted_text"]
+    text = row["extracted_text"].upper()
+    # OCR is lossy; assert salient tokens and their page ORDER, not bytes
+    assert "ALPHA" in text and "BRAVO" in text
+    assert text.index("ALPHA") < text.index("BRAVO")
+    assert row["format"] == "pdf"
+    assert row["n_chars"] > 0

@@ -44,6 +44,7 @@ ORACLES = entry_mod.oracle_sql()
 # corpus (its correctness scale): stub vectors (context_similar_docs) and
 # XXH64 token hashes (simhash/fingerprints); this test runs at sf0.001,
 # so regenerate the literals for the corpus under test
+from archvisier_spark.ops.cascade_ops import _cascade_metadata_oracle_sql
 from archvisier_spark.ops.context_ops import _similar_docs_oracle_sql
 from archvisier_spark.ops.dedup import fingerprint_oracle_sql, simhash_oracle_sql
 
@@ -51,6 +52,7 @@ for _name, _gen in [
     ("context_similar_docs", _similar_docs_oracle_sql),
     ("dedup_simhash_buckets", simhash_oracle_sql),
     ("cascade_fingerprints", fingerprint_oracle_sql),
+    ("cascade_metadata", _cascade_metadata_oracle_sql),
 ]:
     _sql = _gen(SF_DIR)
     if _sql is not None:
@@ -88,3 +90,13 @@ def test_entry_smoke(spark):
     by_id = sorted(rows, key=lambda r: r["doc_id"])
     assert [r["lp"] for r in by_id] == list(range(1, 501))
     assert all(r["new_name"].endswith(".pdf") for r in rows)
+
+
+def test_entry_plan_has_zero_payload_exchange(spark):
+    """Round-4 verdict #6: the flagship must exhibit the sorted-numbering
+    fast path — no hash/range Exchange anywhere (the only join is the
+    broadcast of the tiny offset table)."""
+    plan = entry_mod.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -97,3 +97,71 @@ def test_pluggable_ocr_defaults_preserve_text_layer_roundtrip():
     default_out = extract_pdf_text(pdf, language="auto")
     identity_out = extract_pdf_text(pdf, language="auto", ocr_fn=lambda p, l, c: p)
     assert default_out == identity_out
+
+
+def test_raster_path_pages_in_order_with_two_pass():
+    """extract_pdf_text_raster (the reference's REAL OCR path,
+    processing/ocr.py:169-237): every page is rasterised by page NUMBER,
+    each raster goes through the two-pass auto-language decision, and the
+    repaired pages concat +"\\n" in page order."""
+    from archvisier_spark.kernel.document import extract_pdf_text_raster
+
+    pdf = build_pdf([["FIRST"], ["SECOND"], ["THIRD"]])
+    raster_calls, ocr_calls = [], []
+
+    def fake_rasterize(payload, page=1, dpi=200):
+        raster_calls.append(page)
+        return f"PNG{page}".encode()
+
+    def fake_ocr(img, lang, cfg):
+        ocr_calls.append((img.decode(), lang))
+        return f"tekst{img.decode()[3:]}"
+
+    text, status = extract_pdf_text_raster(
+        pdf, "auto", rasterize_fn=fake_rasterize, ocr_fn=fake_ocr,
+        detect_fn=lambda t: "pl",
+    )
+    assert status == "Sukces"
+    assert raster_calls == [1, 2, 3]
+    # probe + resolved re-OCR per page, same raster both times
+    assert [lang for _, lang in ocr_calls] == ["pol+eng", "pol"] * 3
+    assert [img for img, _ in ocr_calls] == [
+        "PNG1", "PNG1", "PNG2", "PNG2", "PNG3", "PNG3"
+    ]
+    assert text == "tekst1\ntekst2\ntekst3\n"
+
+
+def test_raster_path_error_is_data_not_failure():
+    """A raster-stage exception (including NotImplementedError when the
+    binaries are absent) must become the BŁĄD TECHNICZNY OCR: row contract
+    (processing/ocr.py:232-237), with the traceback in status."""
+    from archvisier_spark.kernel.document import (
+        OCR_ERROR_PREFIX,
+        extract_pdf_text_raster,
+    )
+
+    pdf = build_pdf([["X"]])
+
+    def boom(payload, page=1, dpi=200):
+        raise RuntimeError("rasteriser exploded")
+
+    text, status = extract_pdf_text_raster(pdf, "pol", rasterize_fn=boom)
+    assert text.startswith(OCR_ERROR_PREFIX)
+    assert "rasteriser exploded" in text
+    assert "Traceback" in status
+
+
+def test_raster_path_empty_pdf_contract():
+    """Zero rasterisable pages → the reference's empty-PDF literal
+    (processing/ocr.py:192), empty status."""
+    from archvisier_spark.kernel.document import (
+        EMPTY_PDF_TEXT,
+        extract_pdf_text_raster,
+    )
+
+    text, status = extract_pdf_text_raster(
+        b"%PDF-1.4\n%%EOF", "pol",
+        rasterize_fn=lambda p, page=1, dpi=200: b"",
+        ocr_fn=lambda i, l, c: "",
+    )
+    assert (text, status) == (EMPTY_PDF_TEXT, "")

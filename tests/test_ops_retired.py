@@ -21,7 +21,11 @@ import duckdb
 import pytest
 
 from archvisier_spark.ops import DRIVER_QUERY_WINDOW, all_oracles, all_queries
-from archvisier_spark.ops.tpch import RETIRED_ORACLES, RETIRED_QUERIES
+from archvisier_spark.ops import cascade_ops as _cascade_ops
+from archvisier_spark.ops import tpch as _tpch
+
+RETIRED_QUERIES = {**_tpch.RETIRED_QUERIES, **_cascade_ops.RETIRED_QUERIES}
+RETIRED_ORACLES = {**_tpch.RETIRED_ORACLES, **_cascade_ops.RETIRED_ORACLES}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -55,8 +59,10 @@ def test_import_is_side_effect_free():
         "oracles = ops.all_oracles()\n"
         "assert 'dedup_simhash_buckets' not in oracles\n"
         "assert 'cascade_fingerprints' not in oracles\n"
+        "assert 'cascade_metadata' not in oracles\n"
         "assert 'context_similar_docs' not in oracles\n"
         "assert 'extraction_roundtrip' in oracles\n"
+        "assert 'charset_transport_precedence' in oracles\n"
         "print('OK')\n"
     )
     out = subprocess.run(
