@@ -143,9 +143,17 @@ def with_sequence_sorted(
     recorded ``(count, min-key, max-key)``, and every output row must
     land inside its partition's key range (ranges are non-overlapping,
     so membership pins the pid uniquely) with a record index below the
-    recorded count — any divergence (AQE/coalesce upstream, a different
-    scan plan, files changed between the two jobs) raises at evaluation
-    time instead of emitting NULL or silently wrong numbers.  A grouped restart
+    recorded count.  Divergences that move keys across partition
+    boundaries — partition reassignment, AQE coalescing/merges of scan
+    partitions, a different scan plan, per-partition count growth,
+    out-of-range keys — raise at evaluation time instead of emitting
+    NULL or silently wrong numbers.  Residual assumption the per-row
+    guard CANNOT detect: the transform between ``keys_df`` and ``df``
+    must be order- and cardinality-preserving WITHIN each partition —
+    intra-partition reordering or row drops still yield in-range keys
+    with in-count indices and would number silently wrong (a map-only
+    transform over the same scan satisfies this by construction, which
+    is the documented precondition above).  A grouped restart
     (``partition_cols``) is not offered here: a constant group (the
     flagship's ``work_mode``) doesn't need one, and a genuinely varying
     group interleaved with the sort order has no JVM-side

@@ -72,16 +72,25 @@ def ensure_corpus(spark) -> str:
     return CORPUS_PATH
 
 
-def run_extraction(spark) -> tuple[float, int]:
+def run_extraction(spark) -> tuple[float, float, int]:
+    """One trial: (extraction-only sec, full-pipeline sec, docs).
+
+    Extraction-only is the SAME quantity the scaling protocol records
+    (runs.jsonl median32), so its in-bench samples pool with the series;
+    the full pipeline (extract → number → name) is the end-to-end figure
+    the extract_corpus query tracks round-over-round."""
     from archvisier_spark.pipeline.extract import extract_documents, with_new_names
 
     path = ensure_corpus(spark)
     docs = spark.read.parquet(path)
     t0 = time.time()
+    n = extract_documents(docs).count()
+    extract_sec = time.time() - t0
+    t0 = time.time()
     # keys_df: numbering pre-pass reads the pruned url column, so the
     # extraction UDF runs exactly once
-    n = with_new_names(extract_documents(docs), work_mode="KP", keys_df=docs).count()
-    return time.time() - t0, n
+    with_new_names(extract_documents(docs), work_mode="KP", keys_df=docs).count()
+    return extract_sec, time.time() - t0, n
 
 
 def throughput_once(master: str) -> dict:
@@ -190,7 +199,8 @@ def main_bench() -> None:
 
     qmap = all_queries()
     samples: dict[str, list[float]] = {"extract_corpus": []}
-    docs_per_sec: list[float] = []
+    extract_only_rates: list[float] = []
+    pipeline_rates: list[float] = []
     n_docs = 0
     for name in BENCH_OPS:
         samples[name] = []
@@ -205,9 +215,10 @@ def main_bench() -> None:
 
     for trial in range(BENCH_TRIALS):
         if trial < EXTRACT_TRIALS:
-            ex_sec, n_docs = run_extraction(spark)
-            samples["extract_corpus"].append(ex_sec)
-            docs_per_sec.append(n_docs / ex_sec)
+            ex_sec, pipe_sec, n_docs = run_extraction(spark)
+            samples["extract_corpus"].append(pipe_sec)
+            extract_only_rates.append(n_docs / ex_sec)
+            pipeline_rates.append(n_docs / pipe_sec)
         for name in BENCH_OPS:
             t0 = time.time()
             qmap[name](spark, SF_DIR).count()
@@ -230,13 +241,21 @@ def main_bench() -> None:
         "query_spread_sec": spread,
         "query_minmax_sec": minmax,
         "extract_docs": n_docs,
-        "extract_docs_per_sec": round(statistics.median(docs_per_sec), 1),
     }
-    # cross-check for the headline number: the scaling series' across-runs
-    # median extraction-only rate at local[32] (BENCH/runs.jsonl, 16+ runs)
-    # is the better-estimated throughput figure than any single session
+    # Headline throughput estimator (round-5 verdict #3): a 5-trial
+    # in-session median on a ±50%-noise shared VM is a small-sample
+    # artifact, so ``extract_docs_per_sec`` is the MEDIAN OVER A POOL of
+    # (a) this session's extraction-only trial rates and (b) the scaling
+    # series' per-run median32 values from BENCH/runs.jsonl ('current'
+    # label only — the single-config thread-mode series: local[32],
+    # steady-state warm-up, identical corpus).  Both sources measure the
+    # same quantity (extraction-only docs/s at 32 cores), and the pool
+    # spans hours of independent noise windows, which no single session
+    # can.  The per-source medians stay as secondary fields so the
+    # pooling is auditable; spread is the IQR over the pool.
     runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH", "runs.jsonl")
+    hist32: list[float] = []
     if os.path.exists(runs_path):
         with open(runs_path) as rf:
             hist32 = [
@@ -244,11 +263,26 @@ def main_bench() -> None:
                 for rec in (json.loads(l) for l in rf if l.strip())
                 if rec.get("label", "current") == "current"
             ]
-        if hist32:
-            out["scaling_series_extract_docs_per_sec_local32"] = round(
-                statistics.median(hist32), 1
-            )
-            out["scaling_series_runs"] = len(hist32)
+    # pooling is only valid when this session measured the SAME corpus
+    # the series protocol uses (240 k docs, default seed/skew); a
+    # shrunken smoke-run corpus measures startup, not throughput, and
+    # must not contaminate the pooled estimator
+    if N_DOCS == 240000:
+        pool = extract_only_rates + hist32
+    else:
+        pool = list(extract_only_rates)
+    out["extract_docs_per_sec"] = round(statistics.median(pool), 1)
+    out["extract_pool_samples"] = len(pool)
+    out["extract_pool_iqr"] = round(_iqr(pool), 1)
+    out["extract_docs_per_sec_inbench"] = round(
+        statistics.median(extract_only_rates), 1
+    )
+    out["pipeline_docs_per_sec"] = round(statistics.median(pipeline_rates), 1)
+    if hist32:
+        out["scaling_series_extract_docs_per_sec_local32"] = round(
+            statistics.median(hist32), 1
+        )
+        out["scaling_series_runs"] = len(hist32)
     if paired:
         out["paired_minhash_vs_r2_plan"] = paired
     print(json.dumps(out))
@@ -460,9 +494,28 @@ def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None
         word = "MEETS" if est >= 0.8 else "is BELOW"
         return f"{word} the ≥ 0.8 target on the {est_name} ({est:.3f})"
 
-    hist_raw, hist_norm = thread_stats["raw"], thread_stats["norm"]
-    hist_trimmed, hist_rate32 = thread_stats["trimmed"], thread_stats["rate32"]
-    total_stalls = thread_stats["stalls"]
+    # round-5 ADVICE: thread_stats is None on a checkout whose first
+    # scaling run is --scaling-cluster (no 'current'-labeled rows yet) —
+    # emit an explicit "no runs" sentence instead of indexing into None
+    if thread_stats is None:
+        thread_clause = (
+            "Thread-mode series (local[8] vs local[32], the proxy "
+            "BASELINE.json names): no thread-mode runs recorded yet — "
+            "run `bench.py --scaling` to populate it."
+        )
+    else:
+        thread_clause = (
+            f"Thread-mode series (local[8] vs local[32], the proxy "
+            f"BASELINE.json names; {thread_stats['n']} runs, "
+            f"{thread_stats['kind']}): median raw {thread_stats['raw']:.3f}, "
+            f"median normalized {thread_stats['norm']:.3f}"
+            + (f", median stall-trimmed {thread_stats['trimmed']:.3f} "
+               f"({thread_stats['stalls']} stall rounds trimmed across the "
+               f"series)"
+               if thread_stats["trimmed"] is not None else "")
+            + f" — {_verdict(thread_stats)}; median local[32] rate "
+            f"{thread_stats['rate32']:.0f} docs/s."
+        )
 
     def _row(r):
         p = f"{r['normalized_paired']:.3f}" if "normalized_paired" in r else "—"
@@ -557,15 +610,7 @@ def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None
             "(Spark standalone local-cluster, 2 vs 8 executors × 4 cores,\n"
             "package shipped via the --py-files zip) — the faithful\n"
             "software rendition of the N-vs-4N-executor rule.\n\n"
-            f"**Thread-mode series (local[8] vs local[32], the proxy "
-            f"BASELINE.json names; {thread_stats['n']} runs, "
-            f"{thread_stats['kind']}): median raw {hist_raw:.3f}, median "
-            f"normalized {hist_norm:.3f}"
-            + (f", median stall-trimmed {hist_trimmed:.3f} "
-               f"({total_stalls} stall rounds trimmed across the series)"
-               if hist_trimmed is not None else "")
-            + f" — {_verdict(thread_stats)}; median local[32] rate "
-            f"{hist_rate32:.0f} docs/s.  Executor-JVM series (REAL separate "
+            f"**{thread_clause}  Executor-JVM series (REAL separate "
             f"executor JVMs, 2×4 vs 8×4 cores — the stricter rendition of "
             f"the N-vs-4N-executor rule"
             + (
@@ -650,11 +695,20 @@ if __name__ == "__main__":
         # kernel while the driver pickles closures against the working
         # tree — a stale zip turns any signature change into a mid-run
         # TypeError on the executors
-        subprocess.run(
-            ["bash", os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "scripts", "package.sh")],
-            check=True, capture_output=True,
-        )
+        try:
+            subprocess.run(
+                ["bash", os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "package.sh")],
+                check=True, capture_output=True, text=True,
+            )
+        except subprocess.CalledProcessError as e:
+            # round-5 ADVICE: a swallowed rebuild failure is an opaque
+            # dead-end for a diagnostics entry point — show the script's
+            # output before propagating
+            sys.stderr.write(e.stdout or "")
+            sys.stderr.write(e.stderr or "")
+            raise
         main_scaling(executor_mode=True)
     elif "--scaling" in sys.argv:
         main_scaling()
