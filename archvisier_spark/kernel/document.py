@@ -19,6 +19,7 @@ Composes the kernel tiers into the reference's per-document contract
 from __future__ import annotations
 
 import traceback
+from typing import Callable, NamedTuple, Optional
 
 from archvisier_spark.kernel.charset import decode_payload
 from archvisier_spark.kernel.html_extract import extract_main_text
@@ -34,6 +35,24 @@ from archvisier_spark.kernel.textfix import correct_text, detect_lang
 STATUS_OK = "Sukces"
 EMPTY_PDF_TEXT = "BŁĄD: Plik PDF jest pusty lub uszkodzony."
 OCR_ERROR_PREFIX = "BŁĄD TECHNICZNY OCR: "
+
+
+class RasterEngine(NamedTuple):
+    """Pluggable raster-OCR engine for ``ocr_mode="raster"``.
+
+    ``None`` fields fall back to the real subprocess hooks
+    (``kernel/pdf.py`` Poppler ``pdftoppm`` / Tesseract) — the production
+    configuration on the cluster image.  All three must be MODULE-LEVEL
+    callables so the tuple pickles by reference into the Spark closure
+    (cloudpickle ships a lambda's bytecode, but a named module function
+    keeps the plan stable and the engine swappable per deployment).
+    Deterministic stand-ins (kernel/fake_raster.py) plug in the same way
+    the reference's tests fake ``image_to_string``
+    (tests/test_ocr.py:96-120)."""
+
+    rasterize_fn: Optional[Callable] = None
+    ocr_fn: Optional[Callable] = None
+    detect_fn: Optional[Callable] = None
 
 
 def _text_layer_ocr(page_text: str, _lang: str, _config: str) -> str:
@@ -139,6 +158,7 @@ def extract_document_text(
     language: str = "auto",
     declared_charset: str | None = None,
     ocr_mode: str = "text",
+    ocr_engine: RasterEngine | None = None,
 ) -> tuple[str, str, str]:
     """Dispatch on sniffed format; returns ``(text, status, format)``.
 
@@ -149,13 +169,22 @@ def extract_document_text(
     ``ocr_mode``: ``"text"`` recovers PDF text from content streams (the
     sandbox default); ``"raster"`` runs the reference's real OCR path
     (rasterise + Tesseract per page, :func:`extract_pdf_text_raster`) —
-    for scanned/raster-only PDFs on a cluster with the binaries."""
+    for scanned/raster-only PDFs on a cluster with the binaries.
+
+    ``ocr_engine``: optional :class:`RasterEngine` overriding the raster
+    path's rasterise/OCR/detect hooks — real binaries when ``None``."""
     fmt = sniff_format(payload)
     if fmt == FORMAT_EMPTY:
         return "", STATUS_OK, fmt
     if fmt == FORMAT_PDF:
         if ocr_mode == "raster":
-            text, status = extract_pdf_text_raster(payload, language)
+            eng = ocr_engine or RasterEngine()
+            text, status = extract_pdf_text_raster(
+                payload, language,
+                rasterize_fn=eng.rasterize_fn,
+                ocr_fn=eng.ocr_fn,
+                detect_fn=eng.detect_fn,
+            )
         else:
             text, status = extract_pdf_text(payload, language)
         return text, status, fmt

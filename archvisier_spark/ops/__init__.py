@@ -24,13 +24,15 @@ so summation-order LSB noise can't flip the hash.
 """
 
 from archvisier_spark.ops import (
-    tpch, textops, dedup, simsearch, events, cascade_ops, context_ops, multimodal,
+    tpch, textops, dedup, simsearch, events, cascade_ops, context_ops,
+    raster_ops, multimodal,
 )
 
 # context_ops ahead of multimodal: if the registry ever grows past the
 # driver's 50-query window again, the flagship roundtrip + context oracles
 # must not be the ones that fall off the scoreboard.
-_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, context_ops, multimodal)
+_MODULES = (tpch, textops, dedup, simsearch, events, cascade_ops, context_ops,
+            raster_ops, multimodal)
 
 DRIVER_QUERY_WINDOW = 50
 

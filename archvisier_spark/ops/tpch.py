@@ -306,7 +306,11 @@ WHERE levenshtein(n_name, r_name) <= 8
 """
 
 
-# --- rollup (hierarchical aggregate; beyond the reference's flat aggs) ---
+# --- rollup (hierarchical aggregate; beyond the reference's flat aggs;
+# retired from the driver window in round 6 to make room for
+# extract_raster_ocr — grouped-agg evidence stays live via
+# tpch_pricing_summary/nation_revenue, and this oracle keeps running in
+# tests/test_ops_retired.py) ---
 
 def q_revenue_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -386,6 +390,7 @@ FROM lineitem GROUP BY l_returnflag
 #   tpch_counter_rownum        — A2 counters ≡ a2_counter_display (the
 #                                richer 2000-row {mode}/{year}+SA oracle)
 RETIRED_QUERIES = {
+    "tpch_revenue_rollup": q_revenue_rollup,
     "tpch_top_revenue_orders": q_top_revenue_orders,
     "tpch_cheapest_part_per_order": q_cheapest_part_per_order,
     "tpch_counter_rownum": q_counter_rownum,
@@ -393,7 +398,6 @@ RETIRED_QUERIES = {
 
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
-    "tpch_revenue_rollup": q_revenue_rollup,
     "tpch_set_ops_nations": q_customer_supplier_nations,
     "tpch_price_percentiles": q_price_percentiles,
     "tpch_nation_revenue": q_nation_revenue,
@@ -406,6 +410,7 @@ QUERIES = {
 }
 
 RETIRED_ORACLES = {
+    "tpch_revenue_rollup": _REVENUE_ROLLUP_SQL,
     "tpch_top_revenue_orders": _TOP_REVENUE_SQL,
     "tpch_cheapest_part_per_order": _CHEAPEST_PART_SQL,
     "tpch_counter_rownum": _COUNTER_ROWNUM_SQL,
@@ -413,7 +418,6 @@ RETIRED_ORACLES = {
 
 ORACLES = {
     "tpch_pricing_summary": _PRICING_SQL,
-    "tpch_revenue_rollup": _REVENUE_ROLLUP_SQL,
     "tpch_set_ops_nations": _SET_OPS_SQL,
     "tpch_price_percentiles": _PRICE_PERCENTILES_SQL,
     "tpch_nation_revenue": _NATION_REVENUE_SQL,

@@ -144,7 +144,7 @@ def _build_provider(entity_rules):
 def make_extract_batch(language: str, work_mode: str, case_signature: str,
                        entity_rules=None, llm_tier=None,
                        use_content_type: bool = False,
-                       ocr_mode: str = "text"):
+                       ocr_mode: str = "text", ocr_engine=None):
     """Build the mapInPandas function (closure keeps config serialisable)."""
     provider = _build_provider(entity_rules)
 
@@ -159,7 +159,7 @@ def make_extract_batch(language: str, work_mode: str, case_signature: str,
             ):
                 payload = bytes(html) if html is not None else None
                 text, status, fmt = extract_document_text(payload, language, ct,
-                                                          ocr_mode)
+                                                          ocr_mode, ocr_engine)
                 _metadata_columns(cols, url, warc_ts, lang, fmt, text, status,
                                   len(payload) if payload else 0,
                                   work_mode, case_signature,
@@ -208,7 +208,7 @@ def _arrow_out_schema(in_schema):
 def make_extract_arrow(language: str, work_mode: str, case_signature: str,
                        entity_rules=None, llm_tier=None,
                        use_content_type: bool = False,
-                       ocr_mode: str = "text"):
+                       ocr_mode: str = "text", ocr_engine=None):
     """mapInArrow variant of :func:`make_extract_batch` — identical kernel
     calls, minimal memory traffic: the pandas materialisation is skipped on
     BOTH sides, and the columns the kernel never touches (url array for
@@ -238,7 +238,7 @@ def make_extract_arrow(language: str, work_mode: str, case_signature: str,
             for url, html, ct in zip(urls, htmls, cts):
                 payload = bytes(html) if html is not None else None
                 text, status, fmt = extract_document_text(payload, language, ct,
-                                                          ocr_mode)
+                                                          ocr_mode, ocr_engine)
                 info = extract_info_from_text(text, url, work_mode, case_signature,
                                               entity_provider=provider,
                                               llm_tier=llm_tier)
@@ -314,6 +314,7 @@ def extract_documents(
     llm_tier=None,
     arrow: bool = True,
     ocr_mode: str = "text",
+    ocr_engine=None,
 ) -> DataFrame:
     """Distributed sniff→extract→cascade over the north-rule table.
 
@@ -335,6 +336,11 @@ def extract_documents(
     ``paged_threshold``: optionally route payloads above this many bytes
     through page-level parallelism (pipeline/paged.py) — the answer for
     documents so large that even one-doc-per-task is too coarse.
+
+    ``ocr_engine``: optional :class:`~archvisier_spark.kernel.document.
+    RasterEngine` overriding the raster path's rasterise/OCR/detect hooks
+    (module-level callables — pickled by reference into the closure); the
+    real subprocess binaries when ``None``.
 
     ``ocr_mode="raster"``: run the reference's real OCR path for PDFs
     (rasterise every page via Poppler, OCR each raster via Tesseract —
@@ -362,12 +368,12 @@ def extract_documents(
             fn = make_extract_arrow(language, work_mode, case_signature,
                                     entity_rules, llm_tier,
                                     use_content_type=has_ct,
-                                    ocr_mode=ocr_mode)
+                                    ocr_mode=ocr_mode, ocr_engine=ocr_engine)
             return frame.mapInArrow(fn, EXTRACT_SCHEMA)
         fn = make_extract_batch(language, work_mode, case_signature,
                                 entity_rules, llm_tier,
                                 use_content_type=has_ct,
-                                ocr_mode=ocr_mode)
+                                ocr_mode=ocr_mode, ocr_engine=ocr_engine)
         return frame.mapInPandas(fn, EXTRACT_SCHEMA)
 
     if paged_threshold is not None:

@@ -85,6 +85,32 @@ def test_partitioning_divergence_raises(spark):
         out.collect()
 
 
+def test_aqe_coalesced_shuffle_divergence_raises(spark):
+    """Round-5 verdict #4: the per-row contract guard must catch the AQE
+    failure mode itself, not only hand-built breaches.  Here the
+    divergence is produced by Spark's own machinery: a column-only
+    ``repartitionByRange`` (shuffle origin REPARTITION_BY_COL, which AQE
+    *is* allowed to coalesce — an explicit numPartitions would pin it)
+    between keys_df and df lets AQE's partition coalescing collapse the
+    8 post-shuffle partitions of tiny data into fewer, so df's runtime
+    partitioning diverges from the 4-partition stats pass.  The guard
+    must raise at evaluation — never NULL or silently wrong lp."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+    keys = sorted_urls_df(spark, n=400, parts=4)
+    diverged = keys.repartitionByRange(F.col("url"))
+    # prove AQE really coalesced the shuffle (the divergence is genuine,
+    # not a vacuous pass): runtime partition count < the stats pass's 4
+    n_parts = diverged.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts < 4, f"AQE did not coalesce (got {n_parts} partitions)"
+    out = with_sequence_sorted(diverged, "url", keys_df=keys)
+    with pytest.raises(Exception, match="partition contract breach"):
+        out.collect()
+
+
 def test_empty_input_gets_null_lp(spark):
     df = sorted_urls_df(spark).filter(F.lit(False))
     out = with_sequence_sorted(df, "url")
