@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--language", default=None,
                    help="OCR language (default: config file's ocr_language, or auto)")
     p.add_argument("--work-mode", default="KP")
+    p.add_argument("--ocr-mode", default="text", choices=("text", "raster"),
+                   help="PDF recovery path: 'text' reads content streams; "
+                        "'raster' runs the reference's real OCR flow "
+                        "(Poppler rasterize + Tesseract per page — needs the "
+                        "cluster image's binaries, docker/Dockerfile.cluster; "
+                        "where absent each PDF becomes a BŁĄD TECHNICZNY OCR: "
+                        "data row, never a task failure)")
     p.add_argument("--config", default=None,
                    help="config.json path (S11: reference-compatible keys incl. "
                         "ocr_language/ocr_psm/ocr_oem; odd-kernel coercion applied)")
@@ -87,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         max_chunks_per_run=args.max_chunks_per_run,
         language=language,
         work_mode=args.work_mode,
+        ocr_mode=args.ocr_mode,
     )
     done = completed_chunks(spark, args.checkpoint)
     report = {

@@ -89,6 +89,7 @@ def run_resumable(
     max_chunks_per_run: int | None = None,
     language: str = "auto",
     work_mode: str = "KP",
+    ocr_mode: str = "text",
 ) -> list[int]:
     """Extract every not-yet-done chunk; returns the chunk ids processed.
 
@@ -109,7 +110,8 @@ def run_resumable(
         F.col("chunk_id").isin([int(c) for c in todo])
     )
     result = extract_documents(
-        subset.drop("chunk_id"), language=language, work_mode=work_mode
+        subset.drop("chunk_id"), language=language, work_mode=work_mode,
+        ocr_mode=ocr_mode,
     ).withColumn("chunk_id", chunk_id_col(F.col("url"), n_chunks))
 
     # Idempotent chunk replacement (parquet stand-in for Iceberg MERGE):

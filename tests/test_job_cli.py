@@ -46,3 +46,37 @@ def test_job_cli_missing_config_fails_fast(tmp_path):
     )
     assert r.returncode != 0
     assert "not found" in r.stderr
+
+
+def test_job_cli_ocr_mode_raster_errors_stay_data(tmp_path):
+    """--ocr-mode raster without binaries (this sandbox): every PDF chunk
+    completes with BŁĄD TECHNICZNY OCR data rows — no task failures, the
+    job exits 0, lineage counts every doc (the fail-visible contract,
+    processing/ocr.py:232-237)."""
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "archvisier_spark/job.py",
+         "--synthesize", "30",
+         "--output", out,
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--n-chunks", "3",
+         "--ocr-mode", "raster",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["chunks_complete"] == 3
+    assert rep["lineage_docs"] == 30
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT format, extracted_text FROM '{out}/*/*.parquet'"
+    ).fetchall()
+    assert len(rows) == 30
+    pdf_rows = [t for f, t in rows if f == "pdf"]
+    assert pdf_rows, "corpus should contain PDF rows"
+    assert all(t.startswith("BŁĄD TECHNICZNY OCR:") for t in pdf_rows)
+    # non-PDF rows are untouched by the mode
+    assert all(not t.startswith("BŁĄD") for f, t in rows if f != "pdf")
