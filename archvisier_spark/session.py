@@ -63,6 +63,18 @@ def get_spark(
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # Executor-JVM options (local-cluster scaling experiments): an
+    # UNcontainerized local-cluster executor sees all of the box's cores,
+    # so each of N executor JVMs sizes its GC/JIT thread pools for the
+    # whole machine — N × oversized service pools contending on one
+    # cpuset, an artifact a real cluster never has (cgroup limits make
+    # JVM ergonomics see the container's cores).  Passing
+    # -XX:ActiveProcessorCount=<executor cores> here renders the
+    # per-executor resource envelope a Kubernetes/YARN container would
+    # impose.  Experiments MUST use a distinct SPARK_GRAFT_SCALING_LABEL.
+    exec_java_opts = os.environ.get("SPARK_GRAFT_EXEC_JAVA_OPTS")
+    if exec_java_opts:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_java_opts)
     # Master resolution: an explicit argument wins; otherwise inherit
     # spark.master from spark-submit / existing conf (cluster usage per
     # job.py --master help text); local[N] is only the last-resort default
