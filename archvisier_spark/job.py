@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     p.add_argument("--finalize", action="store_true",
                    help="after all chunks complete, write numbered+named output")
+    p.add_argument("--export-xlsx", default=None, metavar="PATH",
+                   help="with --finalize: also write the styled XLSX results "
+                        "workbook (the reference's export artifact, "
+                        "pdf_processor_app.py:1023-1122) via the from-scratch "
+                        "stdlib OOXML writer")
     p.add_argument("--assume-sorted-urls", action="store_true",
                    help="input/output is stored sorted by url (Iceberg sort "
                         "order): numbering skips the payload re-attach join "
@@ -110,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
         report["finalized_rows"] = spark.read.parquet(
             args.output.rstrip("/") + "_named"
         ).count()
+        if args.export_xlsx:
+            from archvisier_spark.pipeline.training import export_results_xlsx
+
+            export_results_xlsx(
+                spark.read.parquet(args.output.rstrip("/") + "_named"),
+                args.export_xlsx,
+            )
+            report["xlsx"] = args.export_xlsx
 
     lineage = lineage_report(spark, args.checkpoint)
     report["lineage_docs"] = lineage.groupBy().sum("n_docs").collect()[0][0]

@@ -137,3 +137,46 @@ def export_results_table(named: DataFrame, out_path: str) -> None:
         .option("header", True)
         .csv(out_path)
     )
+
+
+# The reference's export headers: ["Lp.", "Nowa nazwa", *INFO_FIELDS
+# labels] (pdf_processor_app.py:89-97,1036).
+XLSX_HEADERS = [
+    "Lp.", "Nowa nazwa", "Data", "Nadawca/Odbiorca", "W sprawie",
+    "Numer dokumentu", "Sygnatura sprawy", "Typ dokumentu", "Status",
+]
+_XLSX_COLS = [
+    "lp", "new_name", "data", "nadawca_odbiorca", "w_sprawie",
+    "numer_dokumentu", "sygnatura_sprawy", "typ_dokumentu", "doc_status",
+]
+
+
+def export_results_xlsx(named: DataFrame, path: str,
+                        max_rows: int = 100_000) -> None:
+    """S8 styled XLSX export, full parity with the reference artifact
+    (pdf_processor_app.py:1023-1122) via the from-scratch stdlib OOXML
+    writer (pipeline/xlsx.py): same headers, bold D9D9D9 header row with
+    thin borders, frozen pane A2 + auto-filter, max(len)+2 column
+    widths, FFFFFF/F0F0F0 row banding, and the status->fill literals on
+    the Status column.  Per-cell GUI highlight colors are deliberately
+    NOT exported — the reference filters its own yellow empty-field
+    highlight (FFFFC8) and white out of the export
+    (pdf_processor_app.py:1050-1052), so banding + status fills are the
+    complete fill set.  Driver-side single artifact by design: the
+    reference exports one bounded session table to one workbook;
+    ``max_rows`` + the lp ordering keep it deterministic."""
+    from archvisier_spark.pipeline.xlsx import write_styled_xlsx
+
+    collected = (
+        named.select(*_XLSX_COLS).orderBy("lp").limit(max_rows).collect()
+    )
+    rows = [["" if v is None else str(v) for v in r] for r in collected]
+    status_idx = XLSX_HEADERS.index("Status")
+    fills = [
+        [
+            STATUS_FILLS.get(row[status_idx], "") if c == status_idx else ""
+            for c in range(len(XLSX_HEADERS))
+        ]
+        for row in rows
+    ]
+    write_styled_xlsx(path, XLSX_HEADERS, rows, fills)

@@ -23,13 +23,24 @@ def test_job_cli_synthesize_resume_finalize(tmp_path):
     rep1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
     assert rep1["chunks_complete"] == 2
 
-    # second invocation finishes the rest and finalizes
-    r2 = subprocess.run(base + ["--finalize"], capture_output=True, text=True, timeout=300)
+    # second invocation finishes the rest, finalizes, and exports XLSX
+    xlsx = str(tmp_path / "results.xlsx")
+    r2 = subprocess.run(base + ["--finalize", "--export-xlsx", xlsx],
+                        capture_output=True, text=True, timeout=300)
     assert r2.returncode == 0, r2.stderr[-2000:]
     rep2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
     assert rep2["chunks_complete"] == 6
     assert rep2["lineage_docs"] == 80
     assert rep2["finalized_rows"] == 80
+
+    # the styled workbook is a real OOXML zip with 80 data rows
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(xlsx) as z:
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    assert len(sheet.find("m:sheetData", ns)) == 81  # header + 80 rows
 
 
 def test_job_cli_missing_config_fails_fast(tmp_path):
