@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                         "order): numbering skips the payload re-attach join "
                         "(zero-shuffle fast path; fails fast if unsorted)")
     args = p.parse_args(argv)
+    if args.export_xlsx and not args.finalize:
+        # a silently ignored export is worse than a crash: the workbook
+        # only exists after finalize assembles the named output
+        p.error("--export-xlsx requires --finalize")
 
     from archvisier_spark.kernel.config import load_settings
     from archvisier_spark.session import get_spark
@@ -123,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.export_xlsx,
             )
             report["xlsx"] = args.export_xlsx
+    elif args.export_xlsx:
+        # --finalize given but chunks incomplete this run: say so in the
+        # report instead of silently writing nothing
+        report["xlsx_skipped"] = (
+            f"chunks incomplete ({len(done)}/{args.n_chunks}) — "
+            "re-run to finish and export"
+        )
 
     lineage = lineage_report(spark, args.checkpoint)
     report["lineage_docs"] = lineage.groupBy().sum("n_docs").collect()[0][0]

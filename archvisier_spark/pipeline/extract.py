@@ -385,6 +385,7 @@ def extract_documents(
             extract_documents_paged(
                 huge, language=language, work_mode=work_mode,
                 case_signature=case_signature, partitions=n_parts,
+                ocr_mode=ocr_mode, ocr_engine=ocr_engine,
             )
         )
 

@@ -26,14 +26,21 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from archvisier_spark.kernel.document import extract_document_text
-from archvisier_spark.kernel.pdf import pdf_page_texts
+from archvisier_spark.kernel.document import (
+    OCR_ERROR_PREFIX,
+    RasterEngine,
+    extract_document_text,
+    ocr_page_auto,
+)
+from archvisier_spark.kernel.pdf import pdf_page_count, pdf_page_texts
 from archvisier_spark.kernel.sniffer import FORMAT_PDF, sniff_format
 from archvisier_spark.kernel.textfix import correct_text, detect_lang
 from archvisier_spark.pipeline.extract import EXTRACT_SCHEMA, make_metadata_batch
 
 # page_idx >= 0: a raw PDF page awaiting repair; page_idx == -1: a document
 # already fully extracted in the split stage (errors, HTML, plain text).
+# page_blob carries the page RASTER in ocr_mode="raster" (page_text is
+# then filled by the distributed OCR stage); NULL on the text path.
 PAGE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -44,16 +51,21 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("page_text", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("page_blob", T.BinaryType(), True),
     ]
 )
 
 
-def _split_batches(language: str):
+def _split_batches(language: str, ocr_mode: str = "text", ocr_engine=None):
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import traceback
+
+        eng = ocr_engine or RasterEngine()
         for batch in batches:
             cols = {f.name: [] for f in PAGE_SCHEMA.fields}
 
-            def emit(url, warc_ts, lang, fmt, idx, text, status, n_bytes):
+            def emit(url, warc_ts, lang, fmt, idx, text, status, n_bytes,
+                     blob=None):
                 cols["url"].append(url)
                 cols["warc_ts"].append(warc_ts)
                 cols["lang"].append(lang)
@@ -62,6 +74,7 @@ def _split_batches(language: str):
                 cols["page_text"].append(text)
                 cols["status"].append(status)
                 cols["n_bytes"].append(n_bytes)
+                cols["page_blob"].append(blob)
 
             for url, warc_ts, html, lang in zip(
                 batch["url"], batch["warc_ts"], batch["html"], batch["lang"]
@@ -69,6 +82,36 @@ def _split_batches(language: str):
                 payload = bytes(html) if html is not None else None
                 n_bytes = len(payload) if payload else 0
                 fmt = sniff_format(payload)
+                if fmt == FORMAT_PDF and ocr_mode == "raster":
+                    # rasterise with the payload in hand (page order, the
+                    # doc-at-once loop's failure semantics: any rasteriser
+                    # error aborts the DOCUMENT into one error data row);
+                    # the expensive OCR runs page-parallel downstream
+                    from archvisier_spark.kernel.pdf import rasterize_pdf_page
+
+                    rasterize = eng.rasterize_fn or rasterize_pdf_page
+                    try:
+                        n_pages = pdf_page_count(payload)
+                        rasters = [
+                            rasterize(payload, page=p)
+                            for p in range(1, n_pages + 1)
+                        ]
+                    except Exception as e:
+                        emit(url, warc_ts, lang, fmt, -1,
+                             f"{OCR_ERROR_PREFIX}{e}",
+                             traceback.format_exc(), n_bytes)
+                        continue
+                    if not rasters:
+                        text, status, fmt = extract_document_text(
+                            payload, language, None, "raster", eng
+                        )
+                        emit(url, warc_ts, lang, fmt, -1, text, status,
+                             n_bytes)
+                        continue
+                    for idx, raster in enumerate(rasters):
+                        emit(url, warc_ts, lang, fmt, idx, "", "", n_bytes,
+                             blob=raster)
+                    continue
                 if fmt == FORMAT_PDF:
                     try:
                         pages = pdf_page_texts(payload)
@@ -79,11 +122,54 @@ def _split_batches(language: str):
                             emit(url, warc_ts, lang, fmt, idx, page, "", n_bytes)
                         continue
                 # non-PDF / empty / malformed: doc-at-once result rides along
-                text, status, fmt = extract_document_text(payload, language)
+                text, status, fmt = extract_document_text(
+                    payload, language, None, ocr_mode, eng
+                )
                 emit(url, warc_ts, lang, fmt, -1, text, status, n_bytes)
             yield pd.DataFrame(cols, columns=[f.name for f in PAGE_SCHEMA.fields])
 
     return split
+
+
+def _ocr_batches(language: str, ocr_engine=None):
+    """Page-parallel OCR + repair stage for ocr_mode="raster": one row per
+    rasterised page, the two-pass auto-language decision per page (same
+    sequence as the doc-at-once loop), errors marked per page and folded
+    into ONE document error row at reassembly — never a task failure."""
+    from archvisier_spark.kernel.pdf import ocr_page_image
+
+    def ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import traceback
+
+        eng = ocr_engine or RasterEngine()
+        engine_ocr = eng.ocr_fn or (
+            lambda img, lng, cfg: ocr_page_image(img, lang=lng, config=cfg)
+        )
+        for batch in batches:
+            texts, statuses = [], []
+            for blob, text, status in zip(
+                batch["page_blob"], batch["page_text"], batch["status"]
+            ):
+                if blob is None:
+                    texts.append(text)
+                    statuses.append(status)
+                    continue
+                try:
+                    page_text, lng = ocr_page_auto(
+                        bytes(blob), language, engine_ocr, eng.detect_fn
+                    )
+                    texts.append(correct_text(page_text, lng))
+                    statuses.append("")
+                except Exception as e:
+                    texts.append(f"{OCR_ERROR_PREFIX}{e}")
+                    statuses.append(traceback.format_exc())
+            out = batch.drop(columns=["page_blob"]).copy()
+            out["page_text"] = texts
+            out["status"] = statuses
+            out["page_blob"] = None
+            yield out[[f.name for f in PAGE_SCHEMA.fields]]
+
+    return ocr
 
 
 def extract_documents_paged(
@@ -92,15 +178,26 @@ def extract_documents_paged(
     work_mode: str = "KP",
     case_signature: str = "",
     partitions: int | None = None,
+    ocr_mode: str = "text",
+    ocr_engine=None,
 ) -> DataFrame:
-    """EXTRACT_SCHEMA output via page-level parallelism (heavy-doc path)."""
+    """EXTRACT_SCHEMA output via page-level parallelism (heavy-doc path).
+
+    ``ocr_mode="raster"``: the split stage rasterises pages (payload in
+    hand), rasters fan out across tasks, and the expensive OCR + repair
+    runs page-parallel — the regime the skew probe names as this path's
+    reason to exist (~1 s/page makes the page shuffle noise).  OCR
+    failures mark their page and fold into ONE document error row at
+    reassembly (the doc-at-once loop's first-failing-page semantics);
+    rasteriser failures abort the document in the split stage."""
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
     pages = (
         df.select("url", "warc_ts", "html", "lang")
         .repartition(n_parts * 4)
-        .mapInPandas(_split_batches(language), PAGE_SCHEMA)
+        .mapInPandas(_split_batches(language, ocr_mode, ocr_engine),
+                     PAGE_SCHEMA)
     )
 
     @F.pandas_udf(T.StringType())
@@ -117,9 +214,16 @@ def extract_documents_paged(
             out.append(correct_text(text, lang))
         return pd.Series(out)
 
-    repaired = pages.repartition(n_parts * 4, "url", "page_idx").withColumn(
-        "page_text", repair_page("page_text", "page_idx")
-    )
+    balanced = pages.repartition(n_parts * 4, "url", "page_idx")
+    if ocr_mode == "raster":
+        repaired = balanced.mapInPandas(
+            _ocr_batches(language, ocr_engine), PAGE_SCHEMA
+        )
+    else:
+        repaired = balanced.withColumn(
+            "page_text", repair_page("page_text", "page_idx")
+        )
+    repaired = repaired.drop("page_blob")
 
     # Reassemble per url: pages sorted by index, each suffixed "\n"
     # (processing/ocr.py:228 contract); page_idx=-1 rows pass through.
@@ -136,10 +240,26 @@ def extract_documents_paged(
             "lang",
             "format",
             "n_bytes",
+            # per-page OCR failures (status set, page_idx >= 0) fold into
+            # one document error row using the FIRST failing page (parts
+            # are sorted by page_idx) — the doc-at-once loop's semantics
+            F.filter(
+                "parts",
+                lambda pt: (pt["status"] != F.lit("")) & (pt["page_idx"] >= 0),
+            ).alias("__errs"),
+            "parts",
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            "format",
+            "n_bytes",
             F.when(
                 F.element_at("parts", 1)["page_idx"] < 0,
                 F.element_at("parts", 1)["page_text"],
             )
+            .when(F.size("__errs") > 0, F.element_at("__errs", 1)["page_text"])
             .otherwise(
                 F.concat_ws(
                     "", F.transform("parts", lambda p: F.concat(p["page_text"], F.lit("\n")))
@@ -150,6 +270,7 @@ def extract_documents_paged(
                 F.element_at("parts", 1)["page_idx"] < 0,
                 F.element_at("parts", 1)["status"],
             )
+            .when(F.size("__errs") > 0, F.element_at("__errs", 1)["status"])
             .otherwise(F.lit("Sukces"))
             .alias("status"),
         )

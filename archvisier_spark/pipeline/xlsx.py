@@ -89,13 +89,17 @@ def _styles_xml(fill_hexes: list[str]) -> str:
             f'<fgColor rgb="{_argb(h)}"/><bgColor indexed="64"/>'
             f"</patternFill></fill>"
         )
-    # fill index of a data color = 2 (none, gray125) + 1 (header) + pos
+    # fill id of color i = 2 (none, gray125) + i.  xf 0 = default, xf 1 =
+    # header (bold on fill_hexes[0]); then one DATA xf per color —
+    # including the header gray, which is a legal per-cell data fill too
+    # (a caller passing D9D9D9 must get a wrap/top data cell, not a
+    # KeyError).
     xfs = [
         '<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>',
         '<xf numFmtId="0" fontId="1" fillId="2" borderId="1" xfId="0" '
         'applyFont="1" applyFill="1" applyBorder="1"/>',
     ]
-    for i in range(1, len(fill_hexes)):
+    for i in range(len(fill_hexes)):
         xfs.append(
             f'<xf numFmtId="0" fontId="0" fillId="{2 + i}" borderId="1" '
             'xfId="0" applyFill="1" applyBorder="1" applyAlignment="1">'
@@ -153,8 +157,9 @@ def write_styled_xlsx(
                     c.upper() for c in fill_order
                 ):
                     fill_order.append(h.lstrip("#").upper())
-    data_xf = {  # color → cellXfs index (header occupies xf 1)
-        h.upper(): 2 + i for i, h in enumerate(fill_order[1:])
+    data_xf = {  # color → DATA cellXfs index (xf 0 default, xf 1 header,
+        #           then one data xf per palette color incl. the header gray)
+        h.upper(): 2 + i for i, h in enumerate(fill_order)
     }
 
     last = f"{col_letter(n_cols)}{len(str_rows) + 1}"
@@ -173,12 +178,17 @@ def write_styled_xlsx(
     ]
     for r, row in enumerate(str_rows, start=2):
         band = BAND_FILLS[(r - 2) % 2]
+        # missing fill ROWS fall back to banding exactly like missing
+        # fill COLUMNS do — a partial fills list must not crash mid-write
+        frow = (
+            cell_fills[r - 2]
+            if cell_fills and r - 2 < len(cell_fills)
+            else []
+        )
         cells = []
         for c in range(n_cols):
             v = row[c] if c < len(row) else ""
-            fill = ""
-            if cell_fills and c < len(cell_fills[r - 2]):
-                fill = cell_fills[r - 2][c].lstrip("#").upper()
+            fill = frow[c].lstrip("#").upper() if c < len(frow) else ""
             xf = data_xf[fill or band]
             cells.append(
                 f'<c r="{col_letter(c + 1)}{r}" s="{xf}" t="inlineStr">'

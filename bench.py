@@ -263,11 +263,13 @@ def main_bench() -> None:
                 for rec in (json.loads(l) for l in rf if l.strip())
                 if rec.get("label", "current") == "current"
             ]
-    # pooling is only valid when this session measured the SAME corpus
-    # the series protocol uses (240 k docs, default seed/skew); a
-    # shrunken smoke-run corpus measures startup, not throughput, and
-    # must not contaminate the pooled estimator
-    if N_DOCS == 240000:
+    # pooling is only valid when this session measured the SAME quantity
+    # the series protocol records: the protocol corpus (240 k docs,
+    # default seed/skew) at 32 cores.  A shrunken smoke corpus measures
+    # startup, and a different core count (SPARK_GRAFT_CPUS=8) is a
+    # different rate altogether — neither may contaminate the pool
+    # (round-6 review).
+    if N_DOCS == 240000 and CPUS == 32:
         pool = extract_only_rates + hist32
     else:
         pool = list(extract_only_rates)
@@ -375,7 +377,10 @@ def main_skew_probe() -> None:
             statistics.median(paged) / statistics.median(split_only), 3
         ),
     }
-    os.makedirs("BENCH", exist_ok=True)
+    # create the ARTIFACT directory (script-relative), not a cwd-relative
+    # stray — the two differ when bench.py runs from another cwd
+    # (round-6 review)
+    os.makedirs(os.path.dirname(SKEW_PROBE_PATH), exist_ok=True)
     # the probe file accumulates SHAPES (one record per corpus shape) so
     # the crossover between split-fed and paged routing is visible in one
     # table; re-running an existing shape replaces its record
@@ -697,8 +702,8 @@ def main_scaling(trials: int | None = None, executor_mode: bool = False) -> None
             "Three renditions of the same N-vs-4N rule over identical "
             "input and protocol\nseparate the terms of the executor-JVM "
             "gap:\n\n",
-            "| rendition | what 8→32 changes | runs | paired-normalized "
-            "median |\n|---|---|---|---|\n",
+            "| rendition | what 8→32 changes | runs | series median "
+            "(stall-trimmed paired estimator) |\n|---|---|---|---|\n",
         ]
         t = _est(thread_stats)
         if t is not None:
@@ -963,7 +968,17 @@ if __name__ == "__main__":
     if "--scaling-cluster" in sys.argv:
         # separate-executor-JVM rendition of the N-vs-4N rule; history
         # rows labeled 'executor-jvms' (env-overridable) so the
-        # thread-mode 'current' series stays single-protocol
+        # thread-mode 'current' series stays single-protocol.  A JVM-opts
+        # experiment without an explicit label would silently contaminate
+        # that single-config series (round-6 review) — refuse instead of
+        # trusting operator discipline.
+        if (os.environ.get("SPARK_GRAFT_EXEC_JAVA_OPTS")
+                and not os.environ.get("SPARK_GRAFT_SCALING_LABEL")):
+            sys.exit(
+                "SPARK_GRAFT_EXEC_JAVA_OPTS is set: name the experiment via "
+                "SPARK_GRAFT_SCALING_LABEL (e.g. executor-jvms-apc) so the "
+                "'executor-jvms' series stays single-config"
+            )
         os.environ.setdefault("SPARK_GRAFT_SCALING_LABEL", "executor-jvms")
         # rebuild the --py-files zip first: executors import the PACKAGED
         # kernel while the driver pickles closures against the working

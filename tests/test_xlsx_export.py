@@ -128,3 +128,24 @@ def test_export_results_xlsx_status_fills(spark, tmp_path):
     # rows ordered by lp; Lp. and Status round-trip as text
     assert _cell_text(sheet, "A2") == "1"
     assert _cell_text(sheet, f"{status_col}4") == "DO UZUPEŁNIENIA"
+
+
+def test_header_gray_as_data_fill_and_partial_fill_rows(tmp_path):
+    """Round-6 review regressions: a per-cell fill equal to the header
+    gray must render as a normal data cell (not KeyError), and a fills
+    list shorter than rows falls back to banding like short columns do."""
+    path = str(tmp_path / "edge.xlsx")
+    write_styled_xlsx(
+        path, ["A"], [["x"], ["y"], ["z"]], [["D9D9D9"]]
+    )
+    sheet, styles, _ = _load(path)
+    assert _cell_fill_argb(sheet, styles, "A2") == "FFD9D9D9"
+    # ...but with the DATA xf (wrap/top), not the bold header xf
+    cell = next(c for c in sheet.iter(f"{{{NS['m']}}}c") if c.get("r") == "A2")
+    xfs = styles.find("m:cellXfs", NS).findall("m:xf", NS)
+    xf = xfs[int(cell.get("s"))]
+    assert xf.find("m:alignment", NS) is not None
+    assert int(xf.get("fontId")) == 0
+    # rows 3-4 had no fills entry → banding
+    assert _cell_fill_argb(sheet, styles, "A3") == "FFF0F0F0"
+    assert _cell_fill_argb(sheet, styles, "A4") == "FFFFFFFF"
