@@ -466,7 +466,11 @@ def _skew_probe_section() -> str:
             + "The paged path's true regime is high per-page cost:\n"
             "raster OCR at ~1 s/page crosses at a few hundred pages,\n"
             "where the same page shuffle is noise against the OCR work —\n"
-            "route by payload size × expected per-page cost.\n"
+            "route by payload size × expected per-page cost.  That regime\n"
+            "is implemented: ocr_mode='raster' routes through the paged\n"
+            "path page-parallel (split-stage rasterisation, distributed\n"
+            "OCR, pipeline/paged.py), differentially tested against the\n"
+            "doc-at-once kernel.\n"
         )
     )
 
