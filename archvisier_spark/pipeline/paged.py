@@ -135,7 +135,13 @@ def _ocr_batches(language: str, ocr_engine=None):
     """Page-parallel OCR + repair stage for ocr_mode="raster": one row per
     rasterised page, the two-pass auto-language decision per page (same
     sequence as the doc-at-once loop), errors marked per page and folded
-    into ONE document error row at reassembly — never a task failure."""
+    into ONE document error row at reassembly — never a task failure.
+
+    Memory note for real deployments: a 200-DPI PNG raster is ~1 MB, so
+    the default Arrow batch of 512 rows would materialise ~0.5 GB per
+    pandas batch — set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    to O(32) on raster jobs (the engine's session builder already bounds
+    it via ``SPARK_GRAFT_ARROW_BATCH_ROWS``)."""
     from archvisier_spark.kernel.pdf import ocr_page_image
 
     def ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
