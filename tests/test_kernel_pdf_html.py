@@ -254,22 +254,184 @@ def test_fast_tokenizer_self_closing_tags():
     ]
 
 
-def test_fast_tokenizer_closing_slash_falls_back():
-    """'</tag/>' is mode-dependent in stdlib (end tag outside CDATA, raw
-    data inside) — the fast path must bail to the oracle, never guess."""
+def test_fast_tokenizer_closing_slash_both_modes():
+    """'</tag/>' is mode-dependent in stdlib: a tolerant END tag outside
+    CDATA, but raw DATA inside it (parse_endtag's strict endtagfind fails
+    on the '/', so the CDATA branch consumes it as data and the mode
+    continues).  The fast path replicates both sides — no bail."""
     from archvisier_spark.kernel.html_extract import (
-        html_blocks,
         html_blocks_fast,
         html_blocks_stdlib,
     )
 
     for c in [
+        # inside CDATA: '</script/>' is data, mode runs on — 'after
+        # script' is swallowed too (no strict close ever appears)
         "<script>var x=1;</script/>after script",
+        "<script>var x=1;</script/>between</script>after for real",
+        # outside CDATA: tolerant end tags
         "<a>link text</a/>after slash-close anchor more text",
         "<svg>inside</svg/>after",
+        "</p/>plain text after slash-closed paragraph end",
     ]:
-        assert html_blocks_fast(c) is None
-        assert html_blocks(c) == html_blocks_stdlib(c)
+        fast = html_blocks_fast(c)
+        assert fast is not None, c
+        assert fast == html_blocks_stdlib(c), c
+
+
+def test_fast_tokenizer_junk_end_tags_and_cdata_strict_close():
+    """Two classes stdlib treats asymmetrically vs start tags (regression
+    for a silent-drift bug found by fuzzing):
+
+    - a tolerant END tag ends at the FIRST '>' after the name — a quoted
+      value does NOT span '>' ('</b x="1>2">' ends inside the quotes);
+    - CDATA mode exits only at a STRICT close ('</script\\s*>' with
+      nothing else); '</script x>' / '</scriptx>' are DATA and the mode
+      continues."""
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    cases = [
+        '</b x="1>2">first-gt ends the end tag so this is visible text',
+        '<style/>></bb/<a href="x>y">',
+        '</div junk="a>b">rest of the line is ordinary content here',
+        '<script>x</script foo>still script</script>done after strict close',
+        "<script>a</scriptx>b</script>c real content follows here",
+        "<script></script\t>tab inside strict close is fine</p>",
+        "<script>never closed at all — swallowed to EOF",
+        # a '</script' prefix with no '>' of its own must not make the
+        # scan jump OVER the strict close that immediately follows — the
+        # strict `interesting` regex never stops at the junk prefix
+        "<script>x</script </script>done with enough text",
+        "<script>x</script!</script>done case two",
+        '<script>x</script\n"</script>done case three',
+    ]
+    for c in cases:
+        fast = html_blocks_fast(c)
+        assert fast is not None, c
+        assert fast == html_blocks_stdlib(c), c
+
+
+def test_fast_tokenizer_marked_sections_totalized():
+    """'<![…' marked sections, mirrored from _markupbase: terminated
+    SGML/MS-conditional sections are consumed; an unterminated one is
+    DATA at EOF via goahead's find('>') fallback; an unknown or missing
+    keyword — where raw stdlib RAISES AssertionError — is totalized to
+    bogus-comment handling in BOTH the oracle subclass and the fast path
+    (regression: the old bogus-comment regex branch silently swallowed
+    unterminated CDATA that stdlib emits as data)."""
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    cases = [
+        "<![CDATA[ok]]>tail long enough to keep around for the check",
+        "<![cdata[a>b]]>lowercase keyword, '>' inside the section",
+        "<![CDATA[x] ]>whitespace-tolerant close per _markedsectionclose",
+        "<![if !IE]>conditional<![endif]> both consumed as sections",
+        "<![if a>b]>MS close is ']>' so the '>' inside stays sectioned",
+        "text before <![CDATA[unterminated section becomes data at EOF",
+        "<p>hello paragraph content</p><![CDATA[<x:y><a b=>",
+        "<![CDATA[a &amp; b",   # fallback data unescapes (convert_charrefs)
+        "<![TEMP[z]]>temp keyword is an SGML section name too",
+        "<![",
+        "<![CDATA",
+    ]
+    for c in cases:
+        fast = html_blocks_fast(c)
+        assert fast is not None, c
+        assert fast == html_blocks_stdlib(c), c
+    # the totalized wart: raw stdlib raises AssertionError on these —
+    # the oracle subclass must parse them as bogus comments instead
+    for c in ["<![foo bar]>x visible", "<![>x visible", "<![iffy]>q visible"]:
+        std = html_blocks_stdlib(c)   # must not raise
+        fast = html_blocks_fast(c)
+        assert fast is not None and fast == std, c
+
+
+def test_fast_tokenizer_quote_pairing_and_nul_stall():
+    """Three divergence classes found by differential fuzzing (each was a
+    real silent-wrong-output bug before the extent-verification /
+    NUL-stall guards landed):
+
+    1. an '=' INSIDE an unquoted attribute value makes our lookbehind
+       claim a quoted value stdlib doesn't have — our token then either
+       spans a '>' stdlib ends at, or (2.) ends at a '>' stdlib's real
+       quoted value spans;
+    3. NUL directly after a start-tag name stalls stdlib's locator
+       (parse_starttag re-emits '<name' alone as DATA and resumes at the
+       NUL) — every other name-breaking char is boundary-consumable.
+
+    The fast path may answer (matching stdlib) or bail — never diverge.
+    Also pins the benign shapes the guards must NOT bail on: quoted
+    values legitimately spanning '>' (onclick handlers), and unquoted
+    attribute values (no quotes in the token at all)."""
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    diverging = [
+        # class 1: our quoted claim spans '>'; stdlib's href value is
+        # the unquoted run '!x="<p><br/' and the tag ends at its '>'
+        '=]a]<a href=!x="<p><br/><b x="1>2"></script>',
+        # class 2: no interior '>' in our token, but stdlib's x="1>2"
+        # spans OUR closing '>'
+        'a&amp;<a href=!x="<b x="1>2"><![ifx/>',
+        "żendif</script>]><a href=!x=\"==text[\nonclick=\"a>b\"=]>ż= ",
+        # class 3: NUL stall after the name, three surrounding shapes
+        "p<br/>a\x00<p><style\x00<!doctype html>text]]>ż<script>",
+        "]]><text\x00/</script>?'p<!doctype html>CDATA",
+        "<if\x00[</script>",
+    ]
+    for c in diverging:
+        std = html_blocks_stdlib(c)
+        fast = html_blocks_fast(c)
+        assert fast is None or fast == std, (c, fast, std)
+    benign = [
+        '<p onclick="if(a>b){x=1}">quoted value spanning gt is fine</p>',
+        "<p><img src=pic.png alt=x>unquoted values, no quotes at all</p>",
+        "<a href='/x?a=1&amp;b=2'>single-quoted</a> trailing words here",
+        "</p\x00junk>NUL in an END tag is fine (gt-scan, no stall)",
+    ]
+    for c in benign:
+        fast = html_blocks_fast(c)
+        assert fast is not None, c
+        assert fast == html_blocks_stdlib(c), c
+
+
+def test_fast_tokenizer_differential_fuzz():
+    """Seeded junk-soup differential fuzz of the fast tokenizer against
+    the (totalized) stdlib oracle — the harness that found every
+    divergence class above.  Bounded to stay fast in CI; the atom set
+    deliberately over-weights the historical failure shapes."""
+    import random
+
+    from archvisier_spark.kernel.html_extract import (
+        html_blocks_fast,
+        html_blocks_stdlib,
+    )
+
+    atoms = [
+        "<", ">", "/", "!", "?", "[", "]", "=", '"', "'", "a", "p",
+        "div", "script", "style", "CDATA", "if", "endif", "--", " ",
+        "\n", "\t", "text", "&amp;", "<p>", "</p>", "<a href=",
+        "<script>", "</script>", "<![", "]]>", "]>", "<!--", "-->",
+        "x/>", "<br/>", '<b x="1>2">', "żółć", "<!doctype html>",
+        'onclick="a>b"', "= ", "==", '<a href=!x="', "\x00", "'",
+        "q='p>q'",
+    ]
+    rng = random.Random(20260817)
+    for _ in range(4000):
+        s = "".join(
+            rng.choice(atoms) for _ in range(rng.randint(1, 16))
+        )
+        std = html_blocks_stdlib(s)
+        fast = html_blocks_fast(s)
+        assert fast is None or fast == std, (s, fast, std)
 
 
 def test_stream_memo_bounded_by_retained_bytes(monkeypatch):
