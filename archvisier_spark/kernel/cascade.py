@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Mapping, Sequence
 
-from archvisier_spark.kernel.smart import smart_extract_info
+from archvisier_spark.kernel.smart import GATES_ENABLED, smart_extract_info
 
 INFO_FIELDS: tuple[str, ...] = (
     "data",
@@ -48,6 +48,20 @@ _RAW_RECIPIENTS = re.compile(r"^(?:Do|Adresat)\s*:\s*(.+)$", re.MULTILINE | re.I
 _RAW_NUMBER_PUNCT = re.compile(r"(?:nr|numer)(?:\s+dokumentu)?\s*[:\s-]+([A-Z0-9./\-]+)", re.IGNORECASE)
 _RAW_NUMBER_SPACE = re.compile(r"(?:nr|numer)(?:\s+dokumentu)?\s+([A-Z0-9./\-]+)", re.IGNORECASE)
 _RAW_SIGNATURE = re.compile(r"(?:sygn\.?\s*akt|sygnatura)\s*[:\s-]*([A-Z0-9./\- ]+)", re.IGNORECASE)
+
+# C-speed literal pre-gates for the step-3 raw regexes (same design as
+# smart.py's: every IGNORECASE match contains one of the gate literals,
+# so its lowercase form appears in the lowered text — gating skips regex
+# scans without ever changing a result).  _RAW_DATE_NUMERIC needs a
+# digit; _RAW_SENDERS/_RAW_RECIPIENTS need a ':'.
+_RAW_DATE_WORDS_GATES = (
+    "stycznia", "lutego", "marca", "kwietnia", "maja", "czerwca", "lipca",
+    "sierpnia", "wrzesnia", "września", "października", "listopada",
+    "grudnia",
+)
+_RAW_NUMBER_GATES = ("nr", "numer")
+_RAW_SIGNATURE_GATES = ("sygn",)  # covers both 'sygn. akt' and 'sygnatura'
+_HAS_DIGIT = re.compile(r"[0-9]")
 
 # An entity provider maps text -> {LABEL: [surface, ...]}.  The default
 # provider returns no entities, matching the reference test harness
@@ -125,23 +139,38 @@ def extract_info_from_text(
                 info[field] = smart.get(field, "")
 
     # Step 3 — raw regexes for the remaining gaps
-    # (processing_worker.py:221-270).
+    # (processing_worker.py:221-270), each behind its literal pre-gate;
+    # the lowered text is computed at most once, and only when some gated
+    # field is still empty.
+    low: str | None = None
+    if GATES_ENABLED and not (info["data"] and info["nadawca_odbiorca"]
+                              and info["numer_dokumentu"]
+                              and info["sygnatura_sprawy"]):
+        low = text.lower()
+
     if not info["data"]:
-        m = _RAW_DATE_NUMERIC.search(text) or _RAW_DATE_WORDS.search(text)
+        m = None
+        if not GATES_ENABLED or _HAS_DIGIT.search(text):
+            m = _RAW_DATE_NUMERIC.search(text)
+        if not m and (not GATES_ENABLED
+                      or any(g in low for g in _RAW_DATE_WORDS_GATES)):
+            m = _RAW_DATE_WORDS.search(text)
         if m:
             info["data"] = m.group(0)
 
-    if not info["nadawca_odbiorca"]:
+    if not info["nadawca_odbiorca"] and (not GATES_ENABLED or ":" in text):
         parties = [s.strip() for s in _RAW_SENDERS.findall(text) + _RAW_RECIPIENTS.findall(text)]
         if parties:
             info["nadawca_odbiorca"] = " ".join(parties)
 
-    if not info["numer_dokumentu"]:
+    if not info["numer_dokumentu"] and (
+            not GATES_ENABLED or any(g in low for g in _RAW_NUMBER_GATES)):
         m = _RAW_NUMBER_PUNCT.search(text) or _RAW_NUMBER_SPACE.search(text)
         if m:
             info["numer_dokumentu"] = m.group(1).strip()
 
-    if not info["sygnatura_sprawy"]:
+    if not info["sygnatura_sprawy"] and (
+            not GATES_ENABLED or any(g in low for g in _RAW_SIGNATURE_GATES)):
         m = _RAW_SIGNATURE.search(text)
         if m:
             info["sygnatura_sprawy"] = m.group(1).strip()

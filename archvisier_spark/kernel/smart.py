@@ -79,22 +79,34 @@ _TYPE_PATTERNS: list[tuple[str, re.Pattern[str], str]] = [
 # by extractors whose keywords are absent from most documents.
 _HAS_DIGIT = re.compile(r"[0-9]")
 
-# Ordered date patterns — smart_extractor.py:84-90.
-_DATE_PATTERNS: tuple[re.Pattern[str], ...] = (
-    re.compile(r"\b(\d{4})[/\.\-](\d{1,2})[/\.\-](\d{1,2})\b"),
-    re.compile(r"\b(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})\b"),
-    re.compile(
+# Ordered date patterns — smart_extractor.py:84-90 — the word-month forms
+# paired with their month-literal gates (an IGNORECASE match contains one
+# of the month names, so its lowercase literal appears in the lowered
+# text — the same gate design as _NUMBER_PATTERNS below).  The numeric
+# forms carry no gate beyond _HAS_DIGIT.
+_DATE_PATTERNS: tuple[tuple[tuple[str, ...] | None, re.Pattern[str]], ...] = (
+    (None, re.compile(r"\b(\d{4})[/\.\-](\d{1,2})[/\.\-](\d{1,2})\b")),
+    (None, re.compile(r"\b(\d{1,2})[/\.\-](\d{1,2})[/\.\-](\d{4})\b")),
+    (("stycznia", "lutego", "marca", "kwietnia", "maja", "czerwca",
+      "lipca", "sierpnia", "września", "października", "listopada",
+      "grudnia"),
+     re.compile(
         r"\b(\d{1,2})[ \.](?:stycznia|lutego|marca|kwietnia|maja|czerwca|lipca|sierpnia|września|października|listopada|grudnia)[ \.](\d{4})\b",
         re.IGNORECASE,
-    ),
-    re.compile(
+     )),
+    (("styczeń", "luty", "marzec", "kwiecień", "maj", "czerwiec",
+      "lipiec", "sierpień", "wrzesień", "październik", "listopad",
+      "grudzień"),
+     re.compile(
         r"\b(\d{1,2})[ \.](?:styczeń|luty|marzec|kwiecień|maj|czerwiec|lipiec|sierpień|wrzesień|październik|listopad|grudzień)[ \.](\d{4})\b",
         re.IGNORECASE,
-    ),
-    re.compile(
+     )),
+    (("january", "february", "march", "april", "may", "june", "july",
+      "august", "september", "october", "november", "december"),
+     re.compile(
         r"\b(\d{1,2})[ \.](?:january|february|march|april|may|june|july|august|september|october|november|december)[ \.](\d{4})\b",
         re.IGNORECASE,
-    ),
+     )),
 )
 
 # Month-name -> number, probed in insertion order against the *original-case*
@@ -186,14 +198,17 @@ EMPTY_SMART_INFO: dict[str, str] = {
 }
 
 
-def find_document_type(text: str) -> str:
+def find_document_type(text: str, low: str | None = None) -> str:
     """Keyword-table document-type detection (X1, smart_extractor.py:124-144).
 
     Scan order: (1) each keyword in table order against the 500-char
     lowercased header — a cheap substring probe gates the word-boundary
     regex; (2) each keyword in table order against the whole lowered text.
+
+    ``low``: optional precomputed ``text.lower()`` shared by composed
+    callers (one case-mapping pass per document, not five).
     """
-    text_lower = text.lower()
+    text_lower = low if low is not None else text.lower()
     header = text_lower[:500] if len(text_lower) > 500 else text_lower
     for keyword, pattern, doc_type in _TYPE_PATTERNS:
         if keyword in header and pattern.search(header):
@@ -207,17 +222,26 @@ def find_document_type(text: str) -> str:
     return ""
 
 
-def extract_date(text: str) -> str:
+def extract_date(text: str, low: str | None = None) -> str:
     """Date extraction + normalisation (X2, smart_extractor.py:146-176).
 
     Numeric forms normalise to ``YYYY-MM-DD`` with zero-padded month/day
     (the year is echoed verbatim, so ``5/1/99`` stays ``99-...``).  Word
     forms resolve the month by a case-sensitive substring probe of the
     matched fragment; an unresolved month falls through to the next pattern.
+
+    ``low``: optional precomputed ``text.lower()``; computed lazily here
+    only if a word-month gate is reached (the numeric fast path never
+    pays the case-mapping pass).
     """
     if GATES_ENABLED and not _HAS_DIGIT.search(text):
         return ""  # every date pattern requires digits — gate, not semantics
-    for pattern in _DATE_PATTERNS:
+    for months, pattern in _DATE_PATTERNS:
+        if GATES_ENABLED and months is not None:
+            if low is None:
+                low = text.lower()
+            if not any(mn in low for mn in months):
+                continue
         m = pattern.search(text)
         if not m:
             continue
@@ -235,9 +259,10 @@ def extract_date(text: str) -> str:
     return ""
 
 
-def extract_document_number(text: str) -> str:
+def extract_document_number(text: str, low: str | None = None) -> str:
     """Document-number extraction (X3, smart_extractor.py:178-184)."""
-    low = text.lower()
+    if low is None:
+        low = text.lower()
     for gates, pattern in _NUMBER_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -264,14 +289,15 @@ def extract_court_signature(text: str) -> str:
     return ""
 
 
-def extract_sender_recipient(text: str) -> str:
+def extract_sender_recipient(text: str, low: str | None = None) -> str:
     """Sender/recipient extraction (X5, smart_extractor.py:186-205).
 
     Role-keyword patterns first; failing those, locate a Polish street
     address and return the non-empty line immediately above it when its
     length is in (3, 60).
     """
-    low = text.lower()
+    if low is None:
+        low = text.lower()
     for gates, pattern in _PARTY_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -293,7 +319,8 @@ def extract_sender_recipient(text: str) -> str:
     return ""
 
 
-def extract_subject(text: str, doc_type: str | None = None) -> str:
+def extract_subject(text: str, doc_type: str | None = None,
+                    low: str | None = None) -> str:
     """Subject extraction (X6, smart_extractor.py:207-223).
 
     Returns the *whole* match (group 0) with five literal lowercase
@@ -307,7 +334,8 @@ def extract_subject(text: str, doc_type: str | None = None) -> str:
     (a pure function of ``text``) so composed callers scan the keyword
     table once instead of three times.
     """
-    low = text.lower()
+    if low is None:
+        low = text.lower()
     for gates, fine_gate, pattern in _SUBJECT_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -347,12 +375,13 @@ def smart_extract_info(text: str, entity_provider=None) -> dict[str, str]:
     if not text:
         return dict(EMPTY_SMART_INFO)
     try:
-        doc_type = find_document_type(text)
+        low = text.lower()  # one case-mapping pass shared by all extractors
+        doc_type = find_document_type(text, low=low)
         info = {
-            "data": extract_date(text),
-            "nadawca_odbiorca": extract_sender_recipient(text),
-            "w_sprawie": extract_subject(text, doc_type),
-            "numer_dokumentu": extract_document_number(text),
+            "data": extract_date(text, low=low),
+            "nadawca_odbiorca": extract_sender_recipient(text, low=low),
+            "w_sprawie": extract_subject(text, doc_type, low=low),
+            "numer_dokumentu": extract_document_number(text, low=low),
             "typ_dokumentu": doc_type,
         }
         if entity_provider is not None:
