@@ -85,6 +85,45 @@ def ocr_page_auto(page, language: str, ocr_fn, detect_fn=None, config: str = "")
     return ocr_fn(page, language, config), language
 
 
+# Per-page repair memo for the default text-layer path: scanned corpora
+# repeat page content (blank pages, stamped headers, the bench corpus's
+# ×500 repeated-page skew documents), and the stream memo (kernel/pdf.py)
+# already returns the SAME str object for a repeated stream — this memo
+# lifts that sharing one level, caching the pure page_text → auto-detect →
+# repair composition so a giant repeated-page document pays detect+repair
+# once, not per page.  Applies ONLY when both hooks are the pure defaults
+# (_text_layer_ocr + detect_lang); pluggable engines bypass it.  Bounded
+# by retained chars, same design as _STREAM_MEMO (round-3 ADVICE).
+_PAGE_MEMO: dict[tuple[str, str], str] = {}
+_PAGE_MEMO_MAX_CHARS = 1 << 14   # per-page admission cap
+_PAGE_MEMO_BUDGET = 16 << 20     # total retained key+value chars/worker
+_page_memo_chars = 0
+
+
+def _repair_page_default(page_text: str, language: str) -> str:
+    """Default-path per-page repair (text-layer OCR + auto-language +
+    :func:`correct_text`) — a pure function of (page_text, language),
+    memoized under the retained-chars budget."""
+    global _page_memo_chars
+    small = len(page_text) <= _PAGE_MEMO_MAX_CHARS
+    key = (language, page_text)
+    if small:
+        try:
+            return _PAGE_MEMO[key]
+        except KeyError:
+            pass
+    text_page, lang = ocr_page_auto(page_text, language, _text_layer_ocr)
+    out = correct_text(text_page, lang)
+    if small:
+        size = len(page_text) + len(out)
+        if _page_memo_chars + size > _PAGE_MEMO_BUDGET:
+            _PAGE_MEMO.clear()
+            _page_memo_chars = 0
+        _PAGE_MEMO[key] = out
+        _page_memo_chars += size
+    return out
+
+
 def extract_pdf_text(
     payload: bytes,
     language: str = "auto",
@@ -95,17 +134,22 @@ def extract_pdf_text(
     """PDF path: pages → (auto-language OCR decision) → repair → concat
     (+"\\n" per page, processing/ocr.py:227-231)."""
     per_page_ocr = ocr_fn or _text_layer_ocr
+    default_path = per_page_ocr is _text_layer_ocr and detect_fn is None
     try:
         pages = pdf_page_texts(payload)
         if not pages:
             return EMPTY_PDF_TEXT, ""
-        full_text = ""
+        parts: list[str] = []
         for page_text in pages:
-            text_page, lang = ocr_page_auto(
-                page_text, language, per_page_ocr, detect_fn, config
-            )
-            full_text += correct_text(text_page, lang) + "\n"
-        return full_text, STATUS_OK
+            if default_path:
+                parts.append(_repair_page_default(page_text, language))
+            else:
+                text_page, lang = ocr_page_auto(
+                    page_text, language, per_page_ocr, detect_fn, config
+                )
+                parts.append(correct_text(text_page, lang))
+            parts.append("\n")
+        return "".join(parts), STATUS_OK
     except Exception as e:
         return f"{OCR_ERROR_PREFIX}{e}", traceback.format_exc()
 

@@ -456,3 +456,65 @@ def test_stream_memo_bounded_by_retained_bytes(monkeypatch):
     assert pdfmod._stream_memo_bytes == sum(
         len(k) + 2 * len(v or "") for k, v in pdfmod._STREAM_MEMO.items()
     )
+
+
+def test_page_repair_memo_identity_and_bound(monkeypatch):
+    """The default-path per-page repair memo must (a) never change output
+    vs the unmemoized composition — including across language modes and
+    repeated pages — and (b) bound total retained chars the same way the
+    stream memo bounds bytes."""
+    from archvisier_spark.kernel import document as docmod
+    from archvisier_spark.kernel.document import extract_pdf_text, ocr_page_auto
+    from archvisier_spark.kernel.pdf import build_pdf, pdf_page_texts
+    from archvisier_spark.kernel.textfix import correct_text
+
+    def unmemoized(payload, language):
+        pages = pdf_page_texts(payload)
+        out = ""
+        for page_text in pages:
+            text_page, lang = ocr_page_auto(
+                page_text, language, docmod._text_layer_ocr
+            )
+            out += correct_text(text_page, lang) + "\n"
+        return out
+
+    cases = [
+        ([["Umowa nr 7/2025", "z dnia 2024-03-05"]], "auto"),
+        ([["invoice no. 12"], ["faktura 9/2020"]] * 3, "auto"),  # repeats
+        ([["tekst polski ąćę"], ["english text here"]], "pol"),
+        ([["mixed"], ["mixed"], ["mixed"]], "eng"),  # identical pages
+    ]
+    docmod._PAGE_MEMO.clear()
+    docmod._page_memo_chars = 0
+    for pages, language in cases:
+        payload = build_pdf(pages)
+        text, status = extract_pdf_text(payload, language=language)
+        assert text == unmemoized(payload, language), (pages, language)
+        # second call hits the memo — still identical
+        text2, _ = extract_pdf_text(payload, language=language)
+        assert text2 == text
+
+    # a custom hook must BYPASS the memo (pluggable engines may differ)
+    seen = []
+
+    def spy_ocr(page, lang, config):
+        seen.append(lang)
+        return page.upper()
+
+    payload = build_pdf([["abc def"]])
+    custom, _ = extract_pdf_text(payload, language="pol", ocr_fn=spy_ocr)
+    assert "ABC DEF" in custom and seen == ["pol"]
+
+    # retained-chars budget: distinct pages trigger eviction
+    monkeypatch.setattr(docmod, "_PAGE_MEMO_BUDGET", 2048)
+    docmod._PAGE_MEMO.clear()
+    docmod._page_memo_chars = 0
+    for i in range(40):
+        extract_pdf_text(build_pdf([[f"strona {i} " + "y" * 80]]))
+        retained = sum(
+            len(k[1]) + len(v) for k, v in docmod._PAGE_MEMO.items()
+        )
+        assert retained <= 2048 + docmod._PAGE_MEMO_MAX_CHARS
+    assert docmod._page_memo_chars == sum(
+        len(k[1]) + len(v) for k, v in docmod._PAGE_MEMO.items()
+    )
