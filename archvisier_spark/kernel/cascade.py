@@ -26,7 +26,14 @@ from __future__ import annotations
 import re
 from typing import Callable, Mapping, Sequence
 
-from archvisier_spark.kernel.smart import GATES_ENABLED, smart_extract_info
+from archvisier_spark.kernel import smart as _smart
+from archvisier_spark.kernel.smart import smart_extract_info
+
+# Gate plumbing shared with smart.py (single source of truth): the
+# enable flag is read from the module AT CALL TIME so a harness toggling
+# smart.GATES_ENABLED flips both tiers together, and the digit probe and
+# gate-probe fold (_gate_probe) are the same objects smart.py gates with.
+_HAS_DIGIT = _smart._HAS_DIGIT
 
 INFO_FIELDS: tuple[str, ...] = (
     "data",
@@ -61,7 +68,6 @@ _RAW_DATE_WORDS_GATES = (
 )
 _RAW_NUMBER_GATES = ("nr", "numer")
 _RAW_SIGNATURE_GATES = ("sygn",)  # covers both 'sygn. akt' and 'sygnatura'
-_HAS_DIGIT = re.compile(r"[0-9]")
 
 # An entity provider maps text -> {LABEL: [surface, ...]}.  The default
 # provider returns no entities, matching the reference test harness
@@ -140,37 +146,38 @@ def extract_info_from_text(
 
     # Step 3 — raw regexes for the remaining gaps
     # (processing_worker.py:221-270), each behind its literal pre-gate;
-    # the lowered text is computed at most once, and only when some gated
-    # field is still empty.
+    # the gate-probe string (lowered text + IGNORECASE's residual folds,
+    # smart._gate_probe) is computed at most once, and only when a gated
+    # field that probes it is still empty.
+    gates_on = _smart.GATES_ENABLED
     low: str | None = None
-    if GATES_ENABLED and not (info["data"] and info["nadawca_odbiorca"]
-                              and info["numer_dokumentu"]
-                              and info["sygnatura_sprawy"]):
-        low = text.lower()
+    if gates_on and not (info["data"] and info["numer_dokumentu"]
+                         and info["sygnatura_sprawy"]):
+        low = _smart._gate_probe(text.lower())
 
     if not info["data"]:
         m = None
-        if not GATES_ENABLED or _HAS_DIGIT.search(text):
+        if not gates_on or _HAS_DIGIT.search(text):
             m = _RAW_DATE_NUMERIC.search(text)
-        if not m and (not GATES_ENABLED
+        if not m and (not gates_on
                       or any(g in low for g in _RAW_DATE_WORDS_GATES)):
             m = _RAW_DATE_WORDS.search(text)
         if m:
             info["data"] = m.group(0)
 
-    if not info["nadawca_odbiorca"] and (not GATES_ENABLED or ":" in text):
+    if not info["nadawca_odbiorca"] and (not gates_on or ":" in text):
         parties = [s.strip() for s in _RAW_SENDERS.findall(text) + _RAW_RECIPIENTS.findall(text)]
         if parties:
             info["nadawca_odbiorca"] = " ".join(parties)
 
     if not info["numer_dokumentu"] and (
-            not GATES_ENABLED or any(g in low for g in _RAW_NUMBER_GATES)):
+            not gates_on or any(g in low for g in _RAW_NUMBER_GATES)):
         m = _RAW_NUMBER_PUNCT.search(text) or _RAW_NUMBER_SPACE.search(text)
         if m:
             info["numer_dokumentu"] = m.group(1).strip()
 
     if not info["sygnatura_sprawy"] and (
-            not GATES_ENABLED or any(g in low for g in _RAW_SIGNATURE_GATES)):
+            not gates_on or any(g in low for g in _RAW_SIGNATURE_GATES)):
         m = _RAW_SIGNATURE.search(text)
         if m:
             info["sygnatura_sprawy"] = m.group(1).strip()

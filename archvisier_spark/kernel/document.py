@@ -94,33 +94,33 @@ def ocr_page_auto(page, language: str, ocr_fn, detect_fn=None, config: str = "")
 # once, not per page.  Applies ONLY when both hooks are the pure defaults
 # (_text_layer_ocr + detect_lang); pluggable engines bypass it.  Bounded
 # by retained chars, same design as _STREAM_MEMO (round-3 ADVICE).
-_PAGE_MEMO: dict[tuple[str, str], str] = {}
-_PAGE_MEMO_MAX_CHARS = 1 << 14   # per-page admission cap
-_PAGE_MEMO_BUDGET = 16 << 20     # total retained key+value chars/worker
-_page_memo_chars = 0
+_REPAIR_MEMO: dict[tuple[str, str], str] = {}
+_REPAIR_MEMO_MAX_CHARS = 1 << 14   # per-page admission cap
+_REPAIR_MEMO_BUDGET = 16 << 20     # total retained key+value chars/worker
+_repair_memo_chars = 0
 
 
 def _repair_page_default(page_text: str, language: str) -> str:
     """Default-path per-page repair (text-layer OCR + auto-language +
     :func:`correct_text`) — a pure function of (page_text, language),
     memoized under the retained-chars budget."""
-    global _page_memo_chars
-    small = len(page_text) <= _PAGE_MEMO_MAX_CHARS
+    global _repair_memo_chars
+    small = len(page_text) <= _REPAIR_MEMO_MAX_CHARS
     key = (language, page_text)
     if small:
         try:
-            return _PAGE_MEMO[key]
+            return _REPAIR_MEMO[key]
         except KeyError:
             pass
     text_page, lang = ocr_page_auto(page_text, language, _text_layer_ocr)
     out = correct_text(text_page, lang)
     if small:
         size = len(page_text) + len(out)
-        if _page_memo_chars + size > _PAGE_MEMO_BUDGET:
-            _PAGE_MEMO.clear()
-            _page_memo_chars = 0
-        _PAGE_MEMO[key] = out
-        _page_memo_chars += size
+        if _repair_memo_chars + size > _REPAIR_MEMO_BUDGET:
+            _REPAIR_MEMO.clear()
+            _repair_memo_chars = 0
+        _REPAIR_MEMO[key] = out
+        _repair_memo_chars += size
     return out
 
 
@@ -134,7 +134,8 @@ def extract_pdf_text(
     """PDF path: pages → (auto-language OCR decision) → repair → concat
     (+"\\n" per page, processing/ocr.py:227-231)."""
     per_page_ocr = ocr_fn or _text_layer_ocr
-    default_path = per_page_ocr is _text_layer_ocr and detect_fn is None
+    default_path = (per_page_ocr is _text_layer_ocr and detect_fn is None
+                    and not config)
     try:
         pages = pdf_page_texts(payload)
         if not pages:

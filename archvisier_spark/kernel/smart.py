@@ -77,7 +77,36 @@ _TYPE_PATTERNS: list[tuple[str, re.Pattern[str], str]] = [
 # changing a result — the same trick find_document_type uses.  Profiling
 # shows re.Pattern.search is ~36% of per-document kernel time, dominated
 # by extractors whose keywords are absent from most documents.
-_HAS_DIGIT = re.compile(r"[0-9]")
+_HAS_DIGIT = re.compile(r"\d")  # \d, not [0-9]: the gated patterns use
+# Unicode-aware \d, so the gate must admit the same digit class (e.g.
+# Arabic-Indic digits in OCR'd multilingual payloads) or gating would
+# change results — the one thing a gate must never do.
+
+# re.IGNORECASE folds three characters into our gate literals' letters
+# beyond what str.lower() maps (sre_compile's extra-cases table): dotless
+# i (U+0131) ↔ i, long s (U+017F) ↔ s, Kelvin sign (U+212A) ↔ k.  A text
+# containing one of them can match an IGNORECASE pattern whose lowercase
+# literal is NOT a substring of text.lower() ('Wrzeſnia' matches the
+# (?i)wrze[sś]nia raw-date form while 'wrzeſnia' contains no 'wrzesnia'),
+# which would let a literal gate skip a scan the ungated path performs —
+# the one thing a gate must never do.  Fix by construction: the PROBE
+# string the gates substring-test is the lowered text with those residual
+# folds applied (the Kelvin sign already lower()s to 'k', and İ (U+0130)
+# lowers to 'i'+COMBINING DOT, which contains 'i') — one C-level charset
+# scan per document, a translate only when a wart is actually present.
+# Gates probing text that the pattern itself searches in lowered form
+# (the document-type table) keep the raw lower() — probe == search
+# subject is sound by itself and the reference searches the true lower.
+_POST_LOWER_WARTS = re.compile("[\u0131\u017f]")
+_FOLD_MAP = {0x131: "i", 0x17f: "s"}
+
+
+def _gate_probe(low: str) -> str:
+    """Gate-probe string for ``low = text.lower()``: IGNORECASE's
+    post-lower() residual folds applied, so 'pattern matches text' ⇒
+    'literal in probe' holds for every literal gate."""
+    return (low.translate(_FOLD_MAP)
+            if _POST_LOWER_WARTS.search(low) else low)
 
 # Ordered date patterns — smart_extractor.py:84-90 — the word-month forms
 # paired with their month-literal gates (an IGNORECASE match contains one
@@ -239,7 +268,7 @@ def extract_date(text: str, low: str | None = None) -> str:
     for months, pattern in _DATE_PATTERNS:
         if GATES_ENABLED and months is not None:
             if low is None:
-                low = text.lower()
+                low = _gate_probe(text.lower())
             if not any(mn in low for mn in months):
                 continue
         m = pattern.search(text)
@@ -260,9 +289,12 @@ def extract_date(text: str, low: str | None = None) -> str:
 
 
 def extract_document_number(text: str, low: str | None = None) -> str:
-    """Document-number extraction (X3, smart_extractor.py:178-184)."""
+    """Document-number extraction (X3, smart_extractor.py:178-184).
+
+    ``low``: optional precomputed gate-probe string
+    (``_gate_probe(text.lower())``) shared by composed callers."""
     if low is None:
-        low = text.lower()
+        low = _gate_probe(text.lower())
     for gates, pattern in _NUMBER_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -274,7 +306,7 @@ def extract_document_number(text: str, low: str | None = None) -> str:
 
 def extract_court_signature(text: str) -> str:
     """Court-signature extraction (X4, smart_extractor.py:103-106)."""
-    low = text.lower()
+    low = _gate_probe(text.lower())
     has_digit = _HAS_DIGIT.search(text) is not None
     for i, pattern in enumerate(_SIGNATURE_PATTERNS):
         # gates: pattern 1 requires the literal "sygn"; pattern 2 requires
@@ -295,9 +327,12 @@ def extract_sender_recipient(text: str, low: str | None = None) -> str:
     Role-keyword patterns first; failing those, locate a Polish street
     address and return the non-empty line immediately above it when its
     length is in (3, 60).
+
+    ``low``: optional precomputed gate-probe string
+    (``_gate_probe(text.lower())``) shared by composed callers.
     """
     if low is None:
-        low = text.lower()
+        low = _gate_probe(text.lower())
     for gates, pattern in _PARTY_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -333,9 +368,14 @@ def extract_subject(text: str, doc_type: str | None = None,
     ``doc_type``: optional precomputed :func:`find_document_type` result
     (a pure function of ``text``) so composed callers scan the keyword
     table once instead of three times.
+
+    ``low``: optional precomputed gate-probe string
+    (``_gate_probe(text.lower())``) shared by composed callers — used
+    only for the literal gates and the fine gate, never as a pattern's
+    search subject.
     """
     if low is None:
-        low = text.lower()
+        low = _gate_probe(text.lower())
     for gates, fine_gate, pattern in _SUBJECT_PATTERNS:
         if GATES_ENABLED and not any(g in low for g in gates):
             continue
@@ -376,12 +416,13 @@ def smart_extract_info(text: str, entity_provider=None) -> dict[str, str]:
         return dict(EMPTY_SMART_INFO)
     try:
         low = text.lower()  # one case-mapping pass shared by all extractors
+        glow = _gate_probe(low)  # gate-probe variant (ı→i, ſ→s residual folds)
         doc_type = find_document_type(text, low=low)
         info = {
-            "data": extract_date(text, low=low),
-            "nadawca_odbiorca": extract_sender_recipient(text, low=low),
-            "w_sprawie": extract_subject(text, doc_type, low=low),
-            "numer_dokumentu": extract_document_number(text, low=low),
+            "data": extract_date(text, low=glow),
+            "nadawca_odbiorca": extract_sender_recipient(text, low=glow),
+            "w_sprawie": extract_subject(text, doc_type, low=glow),
+            "numer_dokumentu": extract_document_number(text, low=glow),
             "typ_dokumentu": doc_type,
         }
         if entity_provider is not None:

@@ -373,3 +373,62 @@ def test_fuzzy_chain_tier_selection():
     assert fuzzy_similarity_chain(a, b) == jaro_winkler(a, b)
     assert fuzzy_similarity_chain(a, b, tier="ratio") == levenshtein_ratio(a, b)
     assert fuzzy_similarity_chain(a, b, tier="fallback") == fuzzy_similarity(a, b)
+
+
+def test_literal_gates_admit_unicode_digits_and_ignorecase_folds():
+    """Two gate-soundness classes found by review (a gate must NEVER
+    change a result vs the ungated scan):
+
+    - the digit gate must admit the same Unicode \\d class the date
+      patterns use (Arabic-Indic digits appear in OCR'd multilingual
+      payloads);
+    - re.IGNORECASE folds dotless i (U+0131), long s (U+017F) and the
+      Kelvin sign (U+212A) into ASCII letters, so a text containing them
+      can match a pattern whose lowercase literal is NOT a substring of
+      text.lower() — the _FOLD_WARTS stand-down must run the scan anyway,
+      in BOTH the smart tier and the cascade's raw tier."""
+    from archvisier_spark.kernel.cascade import extract_info_from_text
+    from archvisier_spark.kernel.smart import (
+        extract_date,
+        extract_document_number,
+        smart_extract_info,
+    )
+
+    # Unicode digits: ٢٣ = ٢٣ etc.
+    arabic = "dnia ٢٣/٠١/٢٠٢٤ r."
+    assert extract_date(arabic) != "", "digit gate dropped a \\d-only date"
+    info = extract_info_from_text(arabic, smart_tier=None)
+    assert info["data"] == "٢٣/٠١/٢٠٢٤"
+
+    # long s in a month name: (?i) folds ſ -> s, so the cascade's raw
+    # wrze[sś]nia pattern matches 'Wrzeſnia' while 'wrzeſnia'.lower()
+    # contains neither gate literal — the stand-down must run the scan.
+    # (The smart tier's word-date is immune either way: its case-
+    # sensitive month probe rejects the fragment and falls through.)
+    long_s = "spotkanie 15 Wrzeſnia 2024 roku"
+    info = extract_info_from_text(long_s, smart_tier=None)
+    assert info["data"] == "15 Wrzeſnia 2024"
+    # long s in the raw signature keyword: 'ſygnatura X/1'
+    info = extract_info_from_text("ſygnatura AB/1", smart_tier=None)
+    assert info["sygnatura_sprawy"] != ""
+    # dotless i in a number keyword ('nr' has none; use 'numer' with ı)
+    dotless = "dokument NUMERıZACJA nrı 7/2025"
+    # gate must not silently skip — result equals the ungated scan
+    import importlib, os
+    from archvisier_spark.kernel import smart as smart_mod
+    from archvisier_spark.kernel import cascade as cascade_mod
+    for probe in (arabic, long_s, dotless, "15 września 2020"):
+        gated_d = extract_date(probe)
+        gated_n = extract_document_number(probe)
+        gated_i = smart_extract_info(probe)
+        os.environ["SPARK_GRAFT_DISABLE_GATES"] = "1"
+        importlib.reload(smart_mod)
+        importlib.reload(cascade_mod)
+        try:
+            assert smart_mod.extract_date(probe) == gated_d, probe
+            assert smart_mod.extract_document_number(probe) == gated_n, probe
+            assert smart_mod.smart_extract_info(probe) == gated_i, probe
+        finally:
+            os.environ.pop("SPARK_GRAFT_DISABLE_GATES")
+            importlib.reload(smart_mod)
+            importlib.reload(cascade_mod)

@@ -484,8 +484,8 @@ def test_page_repair_memo_identity_and_bound(monkeypatch):
         ([["tekst polski ąćę"], ["english text here"]], "pol"),
         ([["mixed"], ["mixed"], ["mixed"]], "eng"),  # identical pages
     ]
-    docmod._PAGE_MEMO.clear()
-    docmod._page_memo_chars = 0
+    docmod._REPAIR_MEMO.clear()
+    docmod._repair_memo_chars = 0
     for pages, language in cases:
         payload = build_pdf(pages)
         text, status = extract_pdf_text(payload, language=language)
@@ -506,15 +506,15 @@ def test_page_repair_memo_identity_and_bound(monkeypatch):
     assert "ABC DEF" in custom and seen == ["pol"]
 
     # retained-chars budget: distinct pages trigger eviction
-    monkeypatch.setattr(docmod, "_PAGE_MEMO_BUDGET", 2048)
-    docmod._PAGE_MEMO.clear()
-    docmod._page_memo_chars = 0
+    monkeypatch.setattr(docmod, "_REPAIR_MEMO_BUDGET", 2048)
+    docmod._REPAIR_MEMO.clear()
+    docmod._repair_memo_chars = 0
     for i in range(40):
         extract_pdf_text(build_pdf([[f"strona {i} " + "y" * 80]]))
         retained = sum(
-            len(k[1]) + len(v) for k, v in docmod._PAGE_MEMO.items()
+            len(k[1]) + len(v) for k, v in docmod._REPAIR_MEMO.items()
         )
-        assert retained <= 2048 + docmod._PAGE_MEMO_MAX_CHARS
-    assert docmod._page_memo_chars == sum(
-        len(k[1]) + len(v) for k, v in docmod._PAGE_MEMO.items()
+        assert retained <= 2048 + docmod._REPAIR_MEMO_MAX_CHARS
+    assert docmod._repair_memo_chars == sum(
+        len(k[1]) + len(v) for k, v in docmod._REPAIR_MEMO.items()
     )
