@@ -344,12 +344,12 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
             pos = nxt if nxt != -1 else n
             continue
         pos = m.end()
-        end_name, start_name = m.group(1, 2)
-        if end_name is None and start_name is None:
+        li = m.lastindex  # 1 = end-tag name group, 2 = start-tag name
+        if li is None:
             # comment / doctype / processing instruction
             continue
-        closing = end_name is not None
-        name = end_name if closing else start_name
+        closing = li == 1
+        name = m.group(li)
         # stdlib's tolerant tag NAME runs to whitespace / '/' / '>'
         # (tagfind_tolerant) — it may contain '<', quotes, '=', '.' …
         # ('<a<>' is a start tag named 'a<', NOT an anchor).  Our capture
@@ -369,7 +369,8 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
             # Rare junk: bail.  End tags are immune (parse_endtag's
             # tolerant branch just finds the next '>' after the name).
             return None
-        kind = _TAG_KIND.get(name.lower())
+        lname = name.lower()
+        kind = _TAG_KIND.get(lname)
         if not closing:
             if html[pos - 2] == "/":  # start token ends '/>'
                 se = _is_startendtag(html[lt:pos])
@@ -425,7 +426,7 @@ def html_blocks_fast(html: str) -> list[tuple[str, int]] | None:
             # `interesting` scan never stops at); the close is tokenized
             # on the next loop turn and decrements the depth.  No close →
             # the mode runs to EOF, everything suppressed as ignored data.
-            end = _CDATA_CLOSE[name.lower()].search(html, pos)
+            end = _CDATA_CLOSE[lname].search(html, pos)
             pos = end.start() if end else n
             ignore_depth += 1  # script/style are both IGNORED_TAGS
         elif kind in (_K_IGNORED, _K_CDATA):
