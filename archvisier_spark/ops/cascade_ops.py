@@ -84,7 +84,10 @@ def q_cascade_metadata(spark, sf_dir):
     byte-identity is additionally pinned by the differential suite."""
     # no repartition: the cascade runs straight on scan splits (map-only) —
     # shuffling a payload column before a per-row UDF is the anti-pattern
-    # the extraction pipeline's BENCH analysis flagged
+    # the extraction pipeline's BENCH analysis flagged.  Re-measured in
+    # r07: at this slice size (500 docs) a 32-way fan-out costs more in
+    # shuffle + per-task Python overhead than the single-task cascade
+    # (count 0.14→0.23 s, noop 0.36→0.61 s at sf1.0) — left map-only.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 500)
     return (
         docs.select("doc_id", cascade_udf("text").alias("info"))

@@ -62,10 +62,14 @@ FROM (
 # --- token-set Jaccard near-dup within (source, lang) buckets ---
 
 def q_near_dup_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select(
+    # r07: repartition ahead of tokenisation — the doc_id pushdown leaves
+    # the split/array_distinct work on the single scan task otherwise
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id", "source", "lang",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
-    ).filter(F.col("doc_id") < 1000)
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     pairs = a.join(
@@ -334,7 +338,13 @@ def simhash64(text_col) -> "F.Column":
 
 def q_simhash_buckets(spark, sf_dir):
     """SimHash sketches bucketed by top-16 bits; rows-only check."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    # r07: the pushed-down doc_id filter collapses the scan to ~1 task
+    # (single-row-group file) — repartition so tokenisation + xxhash64 +
+    # the Arrow bit-vote run across cores (same fix q_minhash_lsh_dedup
+    # has carried since round 3).
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         docs.select("doc_id", simhash64("text").alias("simhash"))
         .withColumn("bucket", F.shiftrightunsigned("simhash", 48))

@@ -19,13 +19,23 @@ def _events(spark, sf_dir):
 # --- tumbling hourly window counts (streaming analog) ---
 
 def q_hourly_counts(spark, sf_dir):
+    # r07 (guide §2.3 "aggregate before you shuffle" applied to expression
+    # placement): group on the truncated TIMESTAMP and render the display
+    # string AFTER aggregation — date_format then runs once per result
+    # group (~thousands) instead of once per event row (millions).  The
+    # format is injective on hour-truncated timestamps in the session's
+    # fixed UTC zone, so the groups — and the emitted strings — are
+    # identical to formatting before the groupBy.
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
-            "event_type",
-        )
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__hour_ts"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("__hour_ts", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 

@@ -51,18 +51,49 @@ def cosine_col(a, b):
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def cosine_from_norms(a, b, na, nb):
+    """Cosine from pre-computed norms (optimization round r07, guide §2.3:
+    the pair join recomputed sqrt(dot(x,x)) for BOTH sides of every pair —
+    hoisting the norms into the per-row projections before the join cuts
+    the dominant higher-order-function work per pair from three dot
+    products to one).  The expression tree is bit-identical to
+    :func:`cosine_col` — ``dot/(na*nb)`` with the same zero-norm guard and
+    the same left-to-right fold — so results are unchanged."""
+    dot = _dot(a, b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def _norm(vec) -> "F.Column":
+    return F.sqrt(_dot(vec, vec))
+
+
+def _par(spark) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
 # --- brute-force top-k: correctness baseline ---
 
 def q_cosine_topk(spark, sf_dir):
+    # r07: the embeddings table is a single parquet row group, so the scan
+    # is ONE task — hash-repartition fans the cosine work across cores
+    # (guide §2.5 input skew: "one huge unsplittable file … repartition
+    # immediately after the read"); norms are hoisted per side (§2.3).
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+        _norm("embedding").alias("qn"),
     )
-    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c"))
+    cands = emb.repartition(_par(spark), "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c"),
+        _norm("embedding").alias("cn"),
+    )
     scored = (
         cands.crossJoin(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine_col("q", "c").alias("cos"))
+        .select(
+            "query_id", "cand_id",
+            cosine_from_norms("q", "c", F.col("qn"), F.col("cn")).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -92,8 +123,13 @@ FROM (
 # --- vector norm statistics per label (vector agg as plain SQL) ---
 
 def q_norm_stats(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    norm = F.sqrt(_dot("embedding", "embedding"))
+    # r07: project the norm ONCE into a column (the three aggregates were
+    # each fed their own copy of the dot-product expression) and fan the
+    # HOF work off the single-row-group scan task.
+    emb = _emb(spark, sf_dir).repartition(_par(spark), "vec_id").select(
+        "label", _norm("embedding").alias("norm")
+    )
+    norm = F.col("norm")
     return emb.groupBy("label").agg(
         F.round(F.avg(norm), 4).alias("avg_norm"),
         F.round(F.min(norm), 4).alias("min_norm"),
@@ -151,12 +187,19 @@ def q_ann_lsh_topk(spark, sf_dir, seed: int = 42):
     ≥ 0.6 vs the brute-force baseline is asserted across 10 plane seeds
     in tests/test_ops_simsearch.py.
     """
+    # r07: single-row-group scan → repartition before the 40 plane dots
+    # (the expensive per-row work) run; norms hoisted per side so the
+    # band-matched pair join does ONE dot per pair instead of three.
     emb = _emb(spark, sf_dir)
     planes = _planes(seed)
-    signed = emb.select("vec_id", "embedding", *band_signature_cols("embedding", planes))
+    signed = emb.repartition(_par(spark), "vec_id").select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm"),
+        *band_signature_cols("embedding", planes),
+    )
     banded = signed.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -165,10 +208,11 @@ def q_ann_lsh_topk(spark, sf_dir, seed: int = 42):
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.band_sig")
+    ).select("vec_id", "embedding", "nrm", "band.band_id", "band.band_sig")
     queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
         F.col("band_id").alias("qband_id"),
         F.col("band_sig").alias("qband_sig"),
     )
@@ -178,7 +222,10 @@ def q_ann_lsh_topk(spark, sf_dir, seed: int = 42):
             (F.col("band_id") == F.col("qband_id")) & (F.col("band_sig") == F.col("qband_sig")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"), cosine_col("q", "embedding").alias("cos"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            cosine_from_norms("q", "embedding", F.col("qn"), F.col("nrm")).alias("cos"),
+        )
         .groupBy("query_id", "cand_id")
         .agg(F.first("cos").alias("cos"))
     )
@@ -236,7 +283,11 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
         [float(x) for x in r["embedding"]]
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
-    assigned = emb.withColumn("cid", assign_bucket("embedding", seeds))
+    # r07: the assignment pass computes k cosine dots per row — fan it out
+    # of the single-row-group scan task before the HOF work runs
+    assigned = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).withColumn("cid", assign_bucket("embedding", seeds))
     means = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cid", "pos")
@@ -264,20 +315,27 @@ def q_ivf_topk(spark, sf_dir):
     recall gate)."""
     emb = _emb(spark, sf_dir)
     cents = train_ivf_centroids(emb)
-    lists = emb.select(
+    # r07: repartition before the 16 assignment dots per row (single-row-
+    # group scan otherwise runs them on one task); norms hoisted per side.
+    lists = emb.repartition(_par(spark), "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c"),
+        _norm("embedding").alias("cn"),
         assign_bucket("embedding", cents).alias("cid"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
+        _norm("embedding").alias("qn"),
         F.explode(probe_buckets("embedding", cents)).alias("cid"),
     )
     scored = (
         lists.join(F.broadcast(queries), "cid")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine_col("q", "c").alias("cos"))
+        .select(
+            "query_id", "cand_id",
+            cosine_from_norms("q", "c", F.col("qn"), F.col("cn")).alias("cos"),
+        )
         .groupBy("query_id", "cand_id")
         .agg(F.first("cos").alias("cos"))
     )
@@ -294,15 +352,22 @@ def q_ivf_topk(spark, sf_dir):
 def q_similar_above_threshold(spark, sf_dir):
     """The reference's memory-recall join J2: top-3 by cosine, kept only
     above 0.2 (context_analyzer.py:250-256)."""
+    # r07: same treatment as q_cosine_topk — repartition off the single-
+    # row-group scan, hoist per-side norms before the pair join.
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+        _norm("embedding").alias("qn"),
     )
-    cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c")
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        _par(spark), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c"),
+        _norm("embedding").alias("cn"),
     )
     scored = cands.crossJoin(F.broadcast(queries)).select(
-        "query_id", "cand_id", cosine_col("q", "c").alias("cos")
+        "query_id", "cand_id",
+        cosine_from_norms("q", "c", F.col("qn"), F.col("cn")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -337,10 +402,17 @@ def q_embedding_near_dup(spark, sf_dir):
     centered random embeddings, so the filter selects a real tail (dedup
     tier for vector-indexed corpora; bucketing bounds the pair join
     exactly like the LSH variants)."""
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 600)
+    # r07: norms hoisted per side (one dot per pair instead of three) and
+    # the capped slice repartitioned off its single-task scan before the
+    # in-label pair join.
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 600).repartition(
+        _par(spark), "vec_id"
+    ).select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_from_norms(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(
             b,

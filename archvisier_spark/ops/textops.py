@@ -68,8 +68,15 @@ WHERE doc_id < 200
 # --- A4-style quality scoring: length / stopword ratio / punct ratio ---
 
 def q_quality_scores(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    # r07: tokenise ONCE into a column — the old expression tree split the
+    # text three times (n_tokens twice, the stopword filter once).  A
+    # repartition fan-out was measured too: it helps the full-value path
+    # (noop 1.7→0.6 s at sf1.0) but taxes the count path with an exchange
+    # (+~0.15 s), so the map-only shape is kept.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    tokens = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
