@@ -51,7 +51,12 @@ FROM events GROUP BY 1, 2
 # --- A5 retention: keep last 3 events per user ---
 
 def q_retention_last3(spark, sf_dir):
-    ev = _events(spark, sf_dir)
+    # r07: same shape fix as tpch_top3_orders_per_customer — repartition
+    # by the window key so the sort runs parallel instead of on the
+    # single-row-group scan task; the window reuses the exchange.
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))

@@ -89,11 +89,26 @@ def q_nation_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # r07 (guide §3.1): the planner broadcast the 1.5M-row orders side
+        # of the lineitem join — a single-threaded driver-side hash build
+        # that dominated the query (~1 s at sf1.0).  Orders is fact-sized,
+        # so the deliberate strategy is a SHUFFLED HASH join: both sides
+        # exchange by orderkey and the hash builds per-partition, in
+        # parallel, with per-partition build memory bounded by the
+        # partition count (orders is always the smaller fact side).
+        # Measured 1.9 s -> 1.1 s at sf1.0, flat at sf0.1.  Explicit
+        # projections shrink the exchanges to the joined/aggregated
+        # columns (§2.3 "project before the exchange").
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         # customer scales with the fact tables — broadcast only true dims
         # (nation/region); AQE decides for customer at runtime.
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -156,7 +171,17 @@ GROUP BY c_mktsegment
 # --- window functions: per-group rank / running sequence (A2, T2) ---
 
 def q_top3_orders_per_customer(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    # r07: the orders file has 1-2 row groups, so the window's pre-shuffle
+    # Sort + partial WindowGroupLimit ran as two 750k-row single-core
+    # sorts.  Repartitioning by the window key FIRST satisfies the
+    # window's required distribution with the same single Exchange, and
+    # the sort then runs on defaultParallelism tasks of ~n/cores rows
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    # Measured 1.4 s -> 0.65 s at sf1.0; row_number over the full orderBy
+    # is deterministic, so results are unchanged.
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).repartition(spark.sparkContext.defaultParallelism, "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rk", F.row_number().over(w))

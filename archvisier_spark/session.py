@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r07 (optimization guide §3.1/§9): allow shuffled-hash joins when
+        # their size conditions hold instead of always preferring
+        # sort-merge, and let AQE rewrite SMJ -> SHJ at runtime when every
+        # post-shuffle partition's build side is small.  The AQE threshold
+        # gates on MEASURED partition sizes, so the rewrite self-disables
+        # at scales where a per-partition hash build would not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
