@@ -108,6 +108,17 @@ def _gate_probe(low: str) -> str:
     return (low.translate(_FOLD_MAP)
             if _POST_LOWER_WARTS.search(low) else low)
 
+
+def _any_in(low: str, gates) -> bool:
+    """C-speed substring gate: True iff any literal occurs in ``low``.
+    A plain loop, not ``any(genexpr)`` — the generator frame per call
+    profiled as measurable overhead on the per-document hot path (r07)."""
+    for g in gates:
+        if g in low:
+            return True
+    return False
+
+
 # Ordered date patterns — smart_extractor.py:84-90 — the word-month forms
 # paired with their month-literal gates (an IGNORECASE match contains one
 # of the month names, so its lowercase literal appears in the lowered
@@ -269,7 +280,7 @@ def extract_date(text: str, low: str | None = None) -> str:
         if GATES_ENABLED and months is not None:
             if low is None:
                 low = _gate_probe(text.lower())
-            if not any(mn in low for mn in months):
+            if not _any_in(low, months):
                 continue
         m = pattern.search(text)
         if not m:
@@ -296,7 +307,7 @@ def extract_document_number(text: str, low: str | None = None) -> str:
     if low is None:
         low = _gate_probe(text.lower())
     for gates, pattern in _NUMBER_PATTERNS:
-        if GATES_ENABLED and not any(g in low for g in gates):
+        if GATES_ENABLED and not _any_in(low, gates):
             continue
         m = pattern.search(text)
         if m:
@@ -334,7 +345,7 @@ def extract_sender_recipient(text: str, low: str | None = None) -> str:
     if low is None:
         low = _gate_probe(text.lower())
     for gates, pattern in _PARTY_PATTERNS:
-        if GATES_ENABLED and not any(g in low for g in gates):
+        if GATES_ENABLED and not _any_in(low, gates):
             continue
         m = pattern.search(text)
         if m:
@@ -342,7 +353,7 @@ def extract_sender_recipient(text: str, low: str | None = None) -> str:
     addr = (
         _ADDRESS_PATTERN.search(text)
         if not GATES_ENABLED
-        or (any(g in low for g in _ADDRESS_GATES) and _HAS_DIGIT.search(text))
+        or (_any_in(low, _ADDRESS_GATES) and _HAS_DIGIT.search(text))
         else None
     )
     if addr:
@@ -377,7 +388,7 @@ def extract_subject(text: str, doc_type: str | None = None,
     if low is None:
         low = _gate_probe(text.lower())
     for gates, fine_gate, pattern in _SUBJECT_PATTERNS:
-        if GATES_ENABLED and not any(g in low for g in gates):
+        if GATES_ENABLED and not _any_in(low, gates):
             continue
         if GATES_ENABLED and fine_gate is not None and not fine_gate.search(low):
             continue

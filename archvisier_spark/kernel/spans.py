@@ -46,34 +46,36 @@ def find_all_occurrences(text: str, sub: str) -> Iterator[int]:
         start += len(sub)
 
 
-# Precompiled per-keyword patterns (table order IS the semantics), plus a
-# single alternation prefilter: one scan decides "no keyword anywhere"
-# (the common case) instead of seven.  ``\b(a|b|...)\b`` matches iff some
-# ``\b kw \b`` matches, so the prefilter can never change the result.
-_KEYWORD_PATTERNS: list[tuple[str, "re.Pattern[str]"]] = [
-    (doc_type, re.compile(r"\b" + re.escape(keyword) + r"\b"))
+# Precompiled per-keyword patterns (table order IS the semantics), each
+# carrying its literal keyword as a C-speed substring gate: a \b-bounded
+# regex hit REQUIRES the literal substring, so gating can never change
+# the result (same design as smart.py's literal gates; the patterns are
+# case-sensitive over the lowered text, so no IGNORECASE fold warts
+# apply).  The prefilter is the set of common keyword prefixes — one
+# `in` scan per prefix (C memchr) replaces the old alternation regex
+# scan, which profiled as the single hottest search in the cascade
+# (optimization round r07).
+_KEYWORD_PATTERNS: list[tuple[str, str, "re.Pattern[str]"]] = [
+    (doc_type, keyword, re.compile(r"\b" + re.escape(keyword) + r"\b"))
     for doc_type, keywords in TRAINING_DOC_TYPES.items()
     for keyword in keywords
 ]
-_ANY_KEYWORD = re.compile(
-    r"\b(?:"
-    + "|".join(
-        re.escape(kw) for kws in TRAINING_DOC_TYPES.values() for kw in kws
-    )
-    + r")\b"
-)
+# shared prefixes: umowa/umowy, porozumienie, protokół/protokołu (diverge
+# at the ó/o), odbiór/odbioru (diverge at ó/o)
+_KEYWORD_GATE_PREFIXES = ("umow", "porozumienie", "protok", "odbi")
 
 
 def detect_document_type_span(text: str) -> Tuple[Optional[str], Optional[int], Optional[int]]:
     """First keyword hit over the lowered text with word boundaries,
     returning ``(type, start, end)`` (training_engine.py:58-66)."""
     lowered = text.lower()
-    if not _ANY_KEYWORD.search(lowered):
+    if not any(g in lowered for g in _KEYWORD_GATE_PREFIXES):
         return None, None, None
-    for doc_type, pattern in _KEYWORD_PATTERNS:
-        m = pattern.search(lowered)
-        if m:
-            return doc_type, m.start(), m.end()
+    for doc_type, keyword, pattern in _KEYWORD_PATTERNS:
+        if keyword in lowered:
+            m = pattern.search(lowered)
+            if m:
+                return doc_type, m.start(), m.end()
     return None, None, None
 
 

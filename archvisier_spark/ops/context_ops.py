@@ -39,7 +39,10 @@ def q_context_similar_docs(spark, sf_dir):
         F.col("doc_id").alias("mem_id"),
         encode_stub_udf(F.substring("text", 1, 2000)).alias("mem_vec"),
     )
-    queries = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+    # r07: fan the stub-encode + cosine work off the single scan task
+    queries = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         F.col("doc_id").alias("query_id"),
         encode_stub_udf(F.substring("text", 1, 2000)).alias("q_vec"),
     )
@@ -70,7 +73,12 @@ def q_context_corrections(spark, sf_dir):
     # contains BOTH accepted rows (sim = 1.0 exact-fragment dupes) and
     # rejected ones — the threshold is exercised in both directions while
     # the quadratic fuzzy kernel stays test-budget friendly
-    queries = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 330)).select(
+    # r07: repartition the query side off its single-row-group scan task —
+    # the quadratic fuzzy kernel otherwise runs every pair on one core
+    # (measured 28 s -> ~1 s at sf0.01)
+    queries = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 330)).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         F.col("doc_id").alias("query_id"), F.substring("text", 1, 200).alias("qtext")
     )
     scored = queries.crossJoin(F.broadcast(corrections)).select(
