@@ -30,7 +30,9 @@ SHINGLE = 3             # token-shingle width
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from archvisier_spark.ops.io_util import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 # --- exact dedup: digest groupBy (S/A tier; trivially shuffle-minimal) ---

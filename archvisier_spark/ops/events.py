@@ -13,7 +13,9 @@ from pyspark.sql import Window, functions as F
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from archvisier_spark.ops.io_util import read_table
+
+    return read_table(spark, sf_dir, "events")
 
 
 # --- tumbling hourly window counts (streaming analog) ---

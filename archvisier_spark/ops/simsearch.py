@@ -31,7 +31,9 @@ EMB_DIM = 64
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from archvisier_spark.ops.io_util import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def _dot(a, b):

@@ -18,7 +18,9 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from archvisier_spark.ops.io_util import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 # --- X10: language-ID heuristic (diacritics class) + distribution ---

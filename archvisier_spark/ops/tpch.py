@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from archvisier_spark.ops.io_util import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # --- Q1-style pricing summary: the canonical partial-aggregate scan ---

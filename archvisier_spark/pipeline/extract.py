@@ -352,6 +352,16 @@ def extract_documents(
     Returns EXTRACT_SCHEMA.
     """
     spark = df.sparkSession
+    # r07: pin the extraction split size at call time.  Scan partitioning
+    # is decided from the session conf AT EXECUTION, and the ops table
+    # reader (ops/io_util.read_table) legitimately raises the split size
+    # for row-group-bound relational scans — an interleaved workload
+    # (bench.py alternates extraction and ops queries) must not leak that
+    # coarse setting into the split-fed map-only extraction stage, whose
+    # multi-wave task granularity comes entirely from 1 MB splits.
+    from archvisier_spark.session import MAX_PARTITION_BYTES
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
     n_parts = partitions or spark.sparkContext.defaultParallelism
     # optional transport-layer charset column (WARC Content-Type header):
     # propagated into the decode when the table carries it

@@ -56,26 +56,49 @@ PAGE_SCHEMA = T.StructType(
 )
 
 
+# Per-task output buffer budget for the split stage: rows flush to a
+# pandas frame once the buffered page payload crosses this, BETWEEN
+# documents (r07 ADVICE fix: the old code built every page raster of a
+# document into one list AND one whole-batch frame — with real ~1 MB
+# 200-DPI rasters a multi-thousand-page PDF held gigabytes per task).
+# The irreducible floor is ONE document's pages: the abort-the-document
+# contract (a rasteriser error mid-document must yield a single error
+# row, no page rows) requires buffering a document before any of its
+# rows becomes final.
+SPLIT_FLUSH_BYTES = 64 << 20
+
+
 def _split_batches(language: str, ocr_mode: str = "text", ocr_engine=None):
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import traceback
 
         eng = ocr_engine or RasterEngine()
+        names = [f.name for f in PAGE_SCHEMA.fields]
+        cols = {n: [] for n in names}
+        acc = 0
+
+        def emit(url, warc_ts, lang, fmt, idx, text, status, n_bytes,
+                 blob=None):
+            nonlocal acc
+            cols["url"].append(url)
+            cols["warc_ts"].append(warc_ts)
+            cols["lang"].append(lang)
+            cols["format"].append(fmt)
+            cols["page_idx"].append(idx)
+            cols["page_text"].append(text)
+            cols["status"].append(status)
+            cols["n_bytes"].append(n_bytes)
+            cols["page_blob"].append(blob)
+            acc += (len(blob) if blob else 0) + len(text)
+
+        def flush() -> pd.DataFrame:
+            nonlocal cols, acc
+            out = pd.DataFrame(cols, columns=names)
+            cols = {n: [] for n in names}
+            acc = 0
+            return out
+
         for batch in batches:
-            cols = {f.name: [] for f in PAGE_SCHEMA.fields}
-
-            def emit(url, warc_ts, lang, fmt, idx, text, status, n_bytes,
-                     blob=None):
-                cols["url"].append(url)
-                cols["warc_ts"].append(warc_ts)
-                cols["lang"].append(lang)
-                cols["format"].append(fmt)
-                cols["page_idx"].append(idx)
-                cols["page_text"].append(text)
-                cols["status"].append(status)
-                cols["n_bytes"].append(n_bytes)
-                cols["page_blob"].append(blob)
-
             for url, warc_ts, html, lang in zip(
                 batch["url"], batch["warc_ts"], batch["html"], batch["lang"]
             ):
@@ -83,34 +106,37 @@ def _split_batches(language: str, ocr_mode: str = "text", ocr_engine=None):
                 n_bytes = len(payload) if payload else 0
                 fmt = sniff_format(payload)
                 if fmt == FORMAT_PDF and ocr_mode == "raster":
-                    # rasterise with the payload in hand (page order, the
-                    # doc-at-once loop's failure semantics: any rasteriser
-                    # error aborts the DOCUMENT into one error data row);
-                    # the expensive OCR runs page-parallel downstream
+                    # rasterise with the payload in hand, emitting each
+                    # page straight into the output buffer (no separate
+                    # all-pages list).  Failure semantics unchanged: any
+                    # rasteriser error retracts this document's buffered
+                    # page rows and aborts the DOCUMENT into one error
+                    # data row; the expensive OCR runs page-parallel
+                    # downstream.
                     from archvisier_spark.kernel.pdf import rasterize_pdf_page
 
                     rasterize = eng.rasterize_fn or rasterize_pdf_page
+                    mark = len(cols["url"])
                     try:
                         n_pages = pdf_page_count(payload)
-                        rasters = [
-                            rasterize(payload, page=p)
-                            for p in range(1, n_pages + 1)
-                        ]
+                        for p in range(1, n_pages + 1):
+                            emit(url, warc_ts, lang, fmt, p - 1, "", "",
+                                 n_bytes, blob=rasterize(payload, page=p))
                     except Exception as e:
+                        for lst in cols.values():
+                            del lst[mark:]
                         emit(url, warc_ts, lang, fmt, -1,
                              f"{OCR_ERROR_PREFIX}{e}",
                              traceback.format_exc(), n_bytes)
-                        continue
-                    if not rasters:
-                        text, status, fmt = extract_document_text(
-                            payload, language, None, "raster", eng
-                        )
-                        emit(url, warc_ts, lang, fmt, -1, text, status,
-                             n_bytes)
-                        continue
-                    for idx, raster in enumerate(rasters):
-                        emit(url, warc_ts, lang, fmt, idx, "", "", n_bytes,
-                             blob=raster)
+                    else:
+                        if n_pages == 0:
+                            text, status, fmt = extract_document_text(
+                                payload, language, None, "raster", eng
+                            )
+                            emit(url, warc_ts, lang, fmt, -1, text, status,
+                                 n_bytes)
+                    if acc >= SPLIT_FLUSH_BYTES:
+                        yield flush()
                     continue
                 if fmt == FORMAT_PDF:
                     try:
@@ -120,13 +146,20 @@ def _split_batches(language: str, ocr_mode: str = "text", ocr_engine=None):
                     if pages:
                         for idx, page in enumerate(pages):
                             emit(url, warc_ts, lang, fmt, idx, page, "", n_bytes)
+                        if acc >= SPLIT_FLUSH_BYTES:
+                            yield flush()
                         continue
                 # non-PDF / empty / malformed: doc-at-once result rides along
                 text, status, fmt = extract_document_text(
                     payload, language, None, ocr_mode, eng
                 )
                 emit(url, warc_ts, lang, fmt, -1, text, status, n_bytes)
-            yield pd.DataFrame(cols, columns=[f.name for f in PAGE_SCHEMA.fields])
+                if acc >= SPLIT_FLUSH_BYTES:
+                    yield flush()
+            # frame boundary per input batch (keeps output frames bounded
+            # by the input batch extent when under budget)
+            if cols["url"]:
+                yield flush()
 
     return split
 

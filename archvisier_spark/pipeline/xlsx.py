@@ -19,8 +19,23 @@ number formats, formulas) is out of scope on purpose.
 
 from __future__ import annotations
 
+import re
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _sax_escape
+
+# XML 1.0 forbids most C0 controls, surrogates and U+FFFE/U+FFFF even
+# escaped; extracted_text/status routinely carries arbitrary PDF/OCR
+# bytes and tracebacks, and openpyxl (the reference's writer) raises
+# IllegalCharacterError on them.  This engine's contract is errors-as-
+# data, so illegal characters are FILTERED (never crash the workbook
+# write, never produce a file Excel refuses to open) — r07 ADVICE fix.
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
+)
+
+
+def escape(s: str) -> str:
+    return _sax_escape(_XML_ILLEGAL.sub("", s))
 
 _XML_DECL = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
 

@@ -127,3 +127,69 @@ def test_extract_documents_routes_raster_to_paged(spark):
             payload, "auto", None, "raster", FAKE_RASTER_ENGINE
         )
         assert got[url] == (text, fmt), url
+
+
+def test_split_stage_flushes_bounded_frames(monkeypatch):
+    """r07 ADVICE fix: the raster split stage streams pages into bounded
+    output frames instead of materialising every raster of a batch (and
+    of each document) at once.  With a tiny flush budget the generator
+    yields multiple frames whose concatenation equals the single-frame
+    output row-for-row."""
+    import pandas as pd
+
+    from archvisier_spark.kernel.pdf import build_pdf
+    from archvisier_spark.pipeline import paged
+
+    docs = [
+        (f"warc://flush/{i}", None,
+         build_pdf([[f"strona {p} dok {i}"] for p in range(4)]), "pl")
+        for i in range(6)
+    ]
+    batch = pd.DataFrame(docs, columns=["url", "warc_ts", "html", "lang"])
+
+    def run():
+        split = paged._split_batches("auto", "raster", FAKE_RASTER_ENGINE)
+        return list(split(iter([batch.copy()])))
+
+    monkeypatch.setattr(paged, "SPLIT_FLUSH_BYTES", 1 << 30)
+    one = run()
+    monkeypatch.setattr(paged, "SPLIT_FLUSH_BYTES", 1)
+    many = run()
+    assert len(one) == 1 and len(many) > 1
+    whole = pd.concat(one, ignore_index=True)
+    streamed = pd.concat(many, ignore_index=True)
+    pd.testing.assert_frame_equal(whole, streamed)
+    # every document's pages present exactly once
+    assert sorted(streamed["url"].tolist()) == sorted(
+        u for (u, _, _, _) in docs for _ in range(4)
+    )
+
+
+def test_split_stage_mid_document_rasterizer_failure_aborts_document():
+    """A rasteriser error on page 3 must retract the document's buffered
+    page rows and emit ONE error data row (the doc-at-once abort
+    contract), even though pages now stream into the output buffer."""
+    import pandas as pd
+
+    from archvisier_spark.kernel.document import OCR_ERROR_PREFIX
+    from archvisier_spark.kernel.pdf import build_pdf
+    from archvisier_spark.pipeline import paged
+
+    def exploding_rasterize(payload: bytes, page: int = 1, dpi: int = 200) -> bytes:
+        if page == 3:
+            raise RuntimeError("pdftoppm crashed (simulated)")
+        return fake_rasterize(payload, page=page, dpi=dpi)
+
+    eng = RasterEngine(exploding_rasterize, fake_ocr, None)
+    good = ("warc://abort/good", None,
+            build_pdf([["ok strona 1"], ["ok strona 2"]]), "pl")
+    bad = ("warc://abort/bad", None,
+           build_pdf([[f"strona {p}"] for p in range(5)]), "pl")
+    batch = pd.DataFrame([good, bad], columns=["url", "warc_ts", "html", "lang"])
+    split = paged._split_batches("auto", "raster", eng)
+    out = pd.concat(list(split(iter([batch]))), ignore_index=True)
+    bad_rows = out[out["url"] == "warc://abort/bad"]
+    assert len(bad_rows) == 1
+    assert int(bad_rows.iloc[0]["page_idx"]) == -1
+    assert bad_rows.iloc[0]["page_text"].startswith(OCR_ERROR_PREFIX)
+    assert len(out[out["url"] == "warc://abort/good"]) == 2

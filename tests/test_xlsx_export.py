@@ -149,3 +149,21 @@ def test_header_gray_as_data_fill_and_partial_fill_rows(tmp_path):
     # rows 3-4 had no fills entry → banding
     assert _cell_fill_argb(sheet, styles, "A3") == "FFF0F0F0"
     assert _cell_fill_argb(sheet, styles, "A4") == "FFFFFFFF"
+
+
+def test_xml_illegal_control_chars_filtered(tmp_path):
+    """XML-1.0-illegal characters (C0 controls, surrogates, U+FFFE/FFFF)
+    in cell text are FILTERED, not emitted — a workbook carrying raw
+    PDF/OCR junk must stay openable (r07 ADVICE fix; openpyxl raises
+    IllegalCharacterError, this writer's errors-as-data contract drops
+    the characters instead)."""
+    path = str(tmp_path / "junk.xlsx")
+    junk = "ok\x00\x0b\x0c\x1f￾value\ttab\nnewline"
+    write_styled_xlsx(path, ["H"], [[junk]])
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+    # parseable XML, no illegal chars on disk, legal whitespace kept
+    ET.fromstring(sheet)
+    assert "okvalue\ttab\nnewline" in sheet
+    for ch in "\x00\x0b\x0c\x1f￾":
+        assert ch not in sheet
