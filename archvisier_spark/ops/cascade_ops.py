@@ -134,10 +134,18 @@ def q_token_similarity_c(spark, sf_dir):
     within a brand: intersection counts duplicate tokens of `a`
     individually; union adds b-tokens absent from a
     (native_c/token_similarity.c:56-72)."""
+    # r07: the planner broadcasts one side of this self-join, so pair
+    # evaluation runs on the PROBE side's partitions — and the part scan
+    # is a single row group, i.e. ONE task did every interpreted
+    # multiset-Jaccard comparison.  Repartition the probe side by its key
+    # (guide §2.5 "one huge unsplittable file … repartition after the
+    # read"); the pair set is unchanged.
     parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand", F.split(F.col("p_name"), r"\s+").alias("toks")
     )
-    a = parts.alias("a")
+    a = parts.repartition(
+        spark.sparkContext.defaultParallelism, "p_partkey"
+    ).alias("a")
     b = parts.alias("b")
     inter = F.size(F.filter(F.col("a.toks"), lambda t: F.array_contains(F.col("b.toks"), t)))
     union = F.size(F.col("a.toks")) + F.size(
@@ -145,7 +153,8 @@ def q_token_similarity_c(spark, sf_dir):
     )
     sim = F.when(union == 0, F.lit(0.0)).otherwise(F.round(inter / union, 6))
     return (
-        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
@@ -183,10 +192,16 @@ def q_fuzzy_pairs(spark, sf_dir):
     result aggregates per segment — the reference's own 0.7 gate appears
     where it belongs, on the argmax join J3 (events_argmax_event models
     the argmax; the kernel's 0.7 literal is golden-tested)."""
+    # r07: same probe-side fix as k1_token_similarity_c — the broadcast
+    # self-join evaluates every pair on the probe side's partitions, and
+    # the single-row-group customer scan made that ONE task running 22M
+    # quadratic levenshteins (148 s at sf0.1 on local[32]).
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment", "c_name"
     )
-    a = cust.alias("a")
+    a = cust.repartition(
+        spark.sparkContext.defaultParallelism, "c_custkey"
+    ).alias("a")
     b = cust.alias("b")
     sim = F.when(F.col("a.c_name") == F.col("b.c_name"), F.lit(1.0)).otherwise(
         F.round(

@@ -69,6 +69,21 @@ def _norm(vec) -> "F.Column":
     return F.sqrt(_dot(vec, vec))
 
 
+def _lit_vec(vec: list[float]) -> "F.Column":
+    """Literal double-array column built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) for v in vec])`` issues a py4j round trip per
+    element — the IVF/ANN queries embed thousands of plane/centroid
+    components, and those driver-side calls (not the compute) dominated
+    query BUILD time (r07).  ``repr(float)`` is the shortest round-trip
+    decimal and ``CAST('…' AS DOUBLE)`` parses back to the identical
+    bits, so the resulting literals — and every downstream cosine — are
+    unchanged."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec) + ")"
+    )
+
+
 def _par(spark) -> int:
     return spark.sparkContext.defaultParallelism
 
@@ -169,7 +184,7 @@ def band_signature_cols(vec_col, planes: list[list[float]], bands: int = LSH_BAN
     for b in range(bands):
         bits = [
             F.when(
-                _dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0, F.lit(1 << i)
+                _dot(vec_col, _lit_vec(plane)) > 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
             for i, plane in enumerate(planes[b * per_band : (b + 1) * per_band])
         ]
@@ -245,28 +260,47 @@ IVF_K = 16        # coarse centroids (inverted lists)
 IVF_NPROBE = 4    # lists probed per query
 
 
-def _centroid_sims(vec_col, centroids: list[list[float]]):
+def _py_norm(vec: list[float]) -> float:
+    """Python rendition of ``sqrt(_dot(v, v))`` with the SAME left-to-right
+    IEEE-double fold as the Spark expression — centroid norms are
+    constants, so they are computed once here and embedded as literals
+    instead of re-deriving sqrt(dot(c,c)) per row per centroid (r07)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _centroid_sims(vec_col, centroids: list[list[float]], vnorm=None):
     """(similarity, centroid_id) structs for every centroid — built-ins
-    only, so assignment stays in whole-stage codegen."""
-    return F.array(
-        *[
-            F.struct(
-                cosine_col(vec_col, F.array(*[F.lit(v) for v in c])).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    only, so assignment stays in whole-stage codegen.
+
+    ``vnorm``: pre-computed row-norm COLUMN (hoist it — an expression here
+    would be duplicated once per centroid).  The centroid norms are
+    Python-precomputed literals; the cosine tree is otherwise identical
+    to :func:`cosine_col` (same guard, same fold order), so values are
+    bit-identical."""
+    vn = vnorm if vnorm is not None else _norm(vec_col)
+    sims = []
+    for i, c in enumerate(centroids):
+        dot = _dot(vec_col, _lit_vec(c))
+        cn = F.lit(_py_norm(c))
+        cos = F.when((vn == 0.0) | (cn == 0.0), F.lit(0.0)).otherwise(dot / (vn * cn))
+        sims.append(F.struct(cos.alias("s"), F.lit(i).alias("c")))
+    return F.array(*sims)
 
 
-def assign_bucket(vec_col, centroids: list[list[float]]):
+def assign_bucket(vec_col, centroids: list[list[float]], vnorm=None):
     """argmax-cosine centroid id (struct array_max orders by first field)."""
-    return F.array_max(_centroid_sims(vec_col, centroids)).getField("c")
+    return F.array_max(_centroid_sims(vec_col, centroids, vnorm)).getField("c")
 
 
-def probe_buckets(vec_col, centroids: list[list[float]], nprobe: int = IVF_NPROBE):
+def probe_buckets(vec_col, centroids: list[list[float]], nprobe: int = IVF_NPROBE,
+                  vnorm=None):
     """The nprobe nearest centroid ids, best first."""
-    ordered = F.reverse(F.array_sort(_centroid_sims(vec_col, centroids)))
+    ordered = F.reverse(F.array_sort(_centroid_sims(vec_col, centroids, vnorm)))
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s.getField("c"))
 
 
@@ -286,10 +320,13 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     # r07: the assignment pass computes k cosine dots per row — fan it out
-    # of the single-row-group scan task before the HOF work runs
+    # of the single-row-group scan task before the HOF work runs, and
+    # hoist the row norm (it was re-derived once per centroid)
     assigned = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    ).withColumn("cid", assign_bucket("embedding", seeds))
+    ).withColumn("__vn", _norm("embedding")).withColumn(
+        "cid", assign_bucket("embedding", seeds, F.col("__vn"))
+    ).drop("__vn")
     means = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cid", "pos")
@@ -319,17 +356,21 @@ def q_ivf_topk(spark, sf_dir):
     cents = train_ivf_centroids(emb)
     # r07: repartition before the 16 assignment dots per row (single-row-
     # group scan otherwise runs them on one task); norms hoisted per side.
-    lists = emb.repartition(_par(spark), "vec_id").select(
+    lists = emb.repartition(_par(spark), "vec_id").withColumn(
+        "__vn", _norm("embedding")
+    ).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c"),
-        _norm("embedding").alias("cn"),
-        assign_bucket("embedding", cents).alias("cid"),
+        F.col("__vn").alias("cn"),
+        assign_bucket("embedding", cents, F.col("__vn")).alias("cid"),
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).withColumn(
+        "__vn", _norm("embedding")
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
-        _norm("embedding").alias("qn"),
-        F.explode(probe_buckets("embedding", cents)).alias("cid"),
+        F.col("__vn").alias("qn"),
+        F.explode(probe_buckets("embedding", cents, vnorm=F.col("__vn"))).alias("cid"),
     )
     scored = (
         lists.join(F.broadcast(queries), "cid")
